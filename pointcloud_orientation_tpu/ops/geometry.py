@@ -1,0 +1,215 @@
+"""Core point-cloud geometry primitives, formulated for XLA/TPU.
+
+These reproduce the semantics of the reference's torch ops (see the parity
+citations on each function) but are designed TPU-first:
+
+* pairwise distances are expressed as one batched matmul (MXU work) plus
+  rank-1 norm corrections, never an ``(B,S,N,3)`` broadcast subtract;
+* neighbor selection uses ``jax.lax.top_k`` over a distance row instead of a
+  full sort of index tensors;
+* farthest-point sampling is a ``lax.fori_loop`` carrying an ``(B,N)``
+  distance vector — static shapes, no host sync;
+* gathers use ``jnp.take_along_axis`` which lowers to a single XLA gather.
+
+All functions are jit-friendly: static shapes, no data-dependent Python
+control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather of ``points (B, N, C)`` by ``idx (B, S)`` or ``(B, S, K)``.
+
+    Parity: ``index_points`` in the reference (`models/base.py:4-18`).
+    """
+    if idx.ndim == 2:
+        return jnp.take_along_axis(points, idx[:, :, None], axis=1)
+    elif idx.ndim == 3:
+        B, S, K = idx.shape
+        flat = jnp.take_along_axis(points, idx.reshape(B, S * K)[:, :, None], axis=1)
+        return flat.reshape(B, S, K, points.shape[-1])
+    raise ValueError(f"idx must be rank 2 or 3, got shape {idx.shape}")
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distance ``(B,N,C) x (B,M,C) -> (B,N,M)``.
+
+    Computed as ``|src|^2 - 2 src.dst^T + |dst|^2`` so the dominant cost is a
+    batched matmul on the MXU. Parity: `models/base.py:20-27`.
+    """
+    # Accumulate the cross term in f32 regardless of input dtype.
+    # HIGHEST precision: the contraction dim is only 3, so full-f32 passes on
+    # the MXU are free, and the -2ab + a^2 + b^2 form needs the accuracy.
+    cross = jax.lax.dot_general(
+        src,
+        dst,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1)
+    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1)
+    return s2[:, :, None] - 2.0 * cross + d2[:, None, :]
+
+
+def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
+    """Indices of the ``nsample`` nearest points in ``xyz (B,N,3)`` for each
+    centroid in ``new_xyz (B,S,3)``; returns ``(B,S,nsample)`` int32.
+
+    The reference calls this ``query_ball_point`` but it is a kNN — no radius
+    filter (`models/base.py:29-35`).
+    """
+    dist = square_distance(new_xyz, xyz)  # (B, S, N)
+    _, idx = jax.lax.top_k(-dist, nsample)
+    return idx.astype(jnp.int32)
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """True radius ball query with pad-with-first semantics.
+
+    For each centroid, among points within ``radius``, pick the ``nsample``
+    with the *smallest index* (not smallest distance); slots with no
+    within-radius point are filled with the first within-radius index.
+    Parity: `PointNet++Demo.py:49-70` (mark out-of-radius as N, sort indices,
+    clamp to first).
+
+    Returns ``(B, S, nsample)`` int32.
+    """
+    B, N, _ = xyz.shape
+    sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
+    arange = jax.lax.broadcasted_iota(jnp.int32, sqrdists.shape, 2)
+    group_idx = jnp.where(sqrdists > radius**2, N, arange)
+    # nsample smallest indices == top_k of negated values.
+    neg_topk, _ = jax.lax.top_k(-group_idx, nsample)
+    group_idx = (-neg_topk).astype(jnp.int32)  # ascending by index, N = invalid
+    first = group_idx[:, :, :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    # Degenerate case (no point in radius at all): clamp into range.
+    return jnp.clip(group_idx, 0, N - 1)
+
+
+def farthest_point_sample(
+    xyz: jax.Array, npoint: int, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """Iterative farthest-point sampling; returns ``(B, npoint)`` int32 indices.
+
+    Parity: `PointNet++Demo.py:8-29` (random initial point, then ``npoint``
+    rounds of min-distance update + argmax). Expressed as a ``lax.fori_loop``
+    carrying the running min-distance vector so the whole loop stays compiled
+    on device.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    if key is None:
+        farthest0 = jnp.zeros((B,), dtype=jnp.int32)
+    else:
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+    distance0 = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    batch_idx = jnp.arange(B)
+
+    def body(i, carry):
+        centroids, distance, farthest = carry
+        centroids = centroids.at[:, i].set(farthest)
+        centroid = xyz[batch_idx, farthest][:, None, :]  # (B,1,3)
+        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)  # (B,N)
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return centroids, distance, farthest
+
+    centroids, _, _ = jax.lax.fori_loop(
+        0, npoint, body, (centroids0, distance0, farthest0)
+    )
+    return centroids
+
+
+def random_sample_indices(key: jax.Array, batch: int, n: int, npoint: int) -> jax.Array:
+    """Per-sample random choice of ``npoint`` distinct indices out of ``n``.
+
+    Parity with the reference's production sampling path, which substitutes
+    ``torch.randperm(N)[:npoint]`` per batch element for true FPS
+    (`models/pointnet_pp.py:28`). One fused uniform draw + per-row argsort.
+    """
+    u = jax.random.uniform(key, (batch, n))
+    _, idx = jax.lax.top_k(u, npoint)
+    return idx.astype(jnp.int32)
+
+
+def sample_and_group(
+    xyz: jax.Array,
+    points: Optional[jax.Array],
+    npoint: int,
+    nsample: int,
+    key: Optional[jax.Array] = None,
+    sampling: str = "random",
+    grouping: str = "knn",
+    radius: float = 0.2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample ``npoint`` centroids and group ``nsample`` neighbors per centroid.
+
+    Returns ``(new_xyz (B,S,3), new_points (B,S,K,3+D))`` where the grouped
+    features are the neighbor coordinates *centered on the centroid*,
+    concatenated with the neighbors' input features if given. This is the
+    sampling+grouping stage of PointNet++ set abstraction
+    (`models/pointnet_pp.py:27-37`).
+
+    sampling: ``"random"`` (reference production path), ``"fps"`` (true FPS,
+    reference demo path), or ``"first"`` (deterministic; for eval parity).
+    grouping: ``"knn"`` (reference production path) or ``"ball"``
+    (reference demo path, radius-filtered).
+    """
+    B, N, _ = xyz.shape
+    if sampling == "random":
+        if key is None:
+            raise ValueError("sampling='random' requires a PRNG key")
+        fps_idx = random_sample_indices(key, B, N, npoint)
+    elif sampling == "fps":
+        fps_idx = farthest_point_sample(xyz, npoint, key)
+    elif sampling == "first":
+        fps_idx = jnp.broadcast_to(jnp.arange(npoint, dtype=jnp.int32)[None], (B, npoint))
+    else:
+        raise ValueError(f"unknown sampling mode: {sampling}")
+
+    new_xyz = index_points(xyz, fps_idx)  # (B,S,3)
+    if grouping == "knn":
+        idx = knn_query(new_xyz, xyz, nsample)
+    elif grouping == "ball":
+        idx = ball_query(radius, nsample, xyz, new_xyz)
+    else:
+        raise ValueError(f"unknown grouping mode: {grouping}")
+
+    grouped_xyz = index_points(xyz, idx)  # (B,S,K,3)
+    normed = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_pts = index_points(points, idx)  # (B,S,K,D)
+        new_points = jnp.concatenate([normed, grouped_pts], axis=-1)
+    else:
+        new_points = normed
+    return new_xyz, new_points
+
+
+def group_all(
+    xyz: jax.Array, points: Optional[jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """Group the entire cloud into one set: ``(B,1,3), (B,1,N,3+D)``.
+
+    Parity: the ``group_all`` branch of set abstraction
+    (`models/pointnet_pp.py:23-26`) — note the reference does *not* center the
+    coordinates in this branch and uses the raw ``xyz`` as features.
+    """
+    B = xyz.shape[0]
+    new_xyz = jnp.zeros((B, 1, 3), dtype=xyz.dtype)
+    grouped = xyz[:, None, :, :]  # (B,1,N,3)
+    if points is not None:
+        grouped = jnp.concatenate([grouped, points[:, None, :, :]], axis=-1)
+    return new_xyz, grouped

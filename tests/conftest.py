@@ -1,0 +1,23 @@
+"""Test harness: run JAX on a virtual 8-device CPU mesh.
+
+Must set the platform flags before anything imports jax, so multi-chip
+sharding tests (the fake-backend trick the reference lacks, SURVEY.md §4)
+run anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
