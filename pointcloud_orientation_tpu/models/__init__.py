@@ -1,0 +1,58 @@
+"""flax.linen model zoo.
+
+Every model takes a ``(B, N, 3)`` point cloud and returns head-specific
+outputs, mirroring the reference's export surface (`models/__init__.py:1-9`)
+plus the two script-local models (SimplePointNet, the demo classifiers).
+"""
+
+from .layers import SetAbstraction, SharedMLP, PointNetPPTrunk
+from .simple_pointnet import SimplePointNet
+from .pointnet import STN3d, STNkd, PointNetEncoder, PointNet, PointNetCls
+from .pointnet_pp import (
+    PointNetPP,
+    PointNetPPXYZ,
+    PointNetPPXYZSchmidt,
+    PointNetPP8Dir,
+    PointNetPPFwd,
+    PointNetPPVonMises,
+    PointNetPPMvM,
+    PointNetPPCls,
+)
+from .point_transformer import PointTransformer
+
+MODEL_REGISTRY = {
+    "simple_pointnet": SimplePointNet,
+    "pointnet": PointNet,
+    "pointnet_cls": PointNetCls,
+    "pointnet_pp": PointNetPP,
+    "pointnet_pp_xyz": PointNetPPXYZ,
+    "pointnet_pp_xyz_schmidt": PointNetPPXYZSchmidt,
+    "pointnet_pp_8dir": PointNetPP8Dir,
+    "pointnet_pp_fwd": PointNetPPFwd,
+    "pointnet_pp_von_mises": PointNetPPVonMises,
+    "pointnet_pp_mvm": PointNetPPMvM,
+    "pointnet_pp_cls": PointNetPPCls,
+    "point_transformer": PointTransformer,
+}
+
+__all__ = [
+    "SetAbstraction",
+    "SharedMLP",
+    "PointNetPPTrunk",
+    "SimplePointNet",
+    "STN3d",
+    "STNkd",
+    "PointNetEncoder",
+    "PointNet",
+    "PointNetCls",
+    "PointNetPP",
+    "PointNetPPXYZ",
+    "PointNetPPXYZSchmidt",
+    "PointNetPP8Dir",
+    "PointNetPPFwd",
+    "PointNetPPVonMises",
+    "PointNetPPMvM",
+    "PointNetPPCls",
+    "PointTransformer",
+    "MODEL_REGISTRY",
+]

@@ -1,0 +1,172 @@
+"""Shared building blocks: pointwise MLPs and PointNet++ set abstraction.
+
+TPU-first design notes
+----------------------
+* A torch ``Conv2d(C_in, C_out, 1)`` over ``(B, C, S, K)`` is exactly a dense
+  layer over the trailing feature axis of ``(B, S, K, C)``; we keep tensors
+  feature-last so every MLP is a single large MXU matmul and XLA fuses the
+  bias/norm/ReLU into it.
+* Set abstraction = sample -> group (gather) -> shared MLP -> max over the
+  neighbor axis. Grouping stays in XLA (top_k + gather); the MLP/max is pure
+  MXU work. Parity: ``PointNetSetAbstraction`` (`models/pointnet_pp.py:6-43`)
+  and the radius-query demo variant (`PointNet++Demo.py:74-173`).
+* BatchNorm statistics are per-device-batch, matching the reference's
+  single-device BN at batch 16 (SURVEY.md §7 hard part 4); under data
+  parallelism each shard normalizes locally unless ``axis_name`` is given.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import geometry as G
+
+
+class SharedMLP(nn.Module):
+    """Stack of pointwise Dense + Norm + ReLU layers over the last axis.
+
+    Equivalent to the reference's 1x1 ``Conv2d`` + ``BatchNorm2d`` + ReLU
+    stacks (`models/pointnet_pp.py:14-19,39-41`).
+    """
+
+    channels: Sequence[int]
+    norm: str = "batch"  # "batch" | "layer" | "none"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for ch in self.channels:
+            x = nn.Dense(ch)(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.bn_axis_name,
+                )(x)
+            elif self.norm == "layer":
+                x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """PointNet++ set abstraction: sample centroids, group neighbors,
+    run a shared MLP, max-pool over the neighborhood.
+
+    ``sampling``:
+      * ``"random"`` — per-sample random centroid choice, the reference's
+        production path (`models/pointnet_pp.py:28`); draws from the
+        ``"sampling"`` RNG collection when available, else falls back to
+        ``"first"`` (deterministic).
+      * ``"fps"`` — true farthest-point sampling (`PointNet++Demo.py:8-29`).
+      * ``"first"`` — take the first ``npoint`` points (deterministic eval).
+
+    ``grouping``: ``"knn"`` (reference production, `models/base.py:29-35`) or
+    ``"ball"`` (radius query with pad-with-first, `PointNet++Demo.py:49-70`).
+
+    ``group_all=True`` pools the whole cloud with *uncentered* coordinates,
+    matching `models/pointnet_pp.py:23-26`.
+    """
+
+    npoint: Optional[int]
+    nsample: Optional[int]
+    mlp_channels: Sequence[int]
+    group_all: bool = False
+    sampling: str = "random"
+    grouping: str = "knn"
+    radius: float = 0.2
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        points: Optional[jax.Array],
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if self.group_all:
+            new_xyz, grouped = G.group_all(xyz, points)
+        else:
+            sampling = self.sampling
+            key = None
+            if sampling == "random":
+                if self.has_rng("sampling"):
+                    key = self.make_rng("sampling")
+                else:
+                    sampling = "first"
+            elif sampling == "fps" and self.has_rng("sampling"):
+                key = self.make_rng("sampling")
+            new_xyz, grouped = G.sample_and_group(
+                xyz,
+                points,
+                self.npoint,
+                self.nsample,
+                key=key,
+                sampling=sampling,
+                grouping=self.grouping,
+                radius=self.radius,
+            )
+        feats = SharedMLP(self.mlp_channels, bn_axis_name=self.bn_axis_name)(
+            grouped, train=train
+        )
+        pooled = jnp.max(feats, axis=2)  # (B, S, C_out)
+        return new_xyz, pooled
+
+
+class PointNetPPTrunk(nn.Module):
+    """The backbone every PointNet++ variant shares: three SA stages and a
+    two-layer FC funnel to a 256-d global feature.
+
+    sa1 = SA(128, 32, [64, 64, 128]); sa2 = SA(32, 32, [128, 128, 256]);
+    sa3 = SA(group_all, [256, 512, 1024]); fc 1024->512->256 with norm, ReLU
+    and dropout. Parity: `models/pointnet_pp.py:48-57` (BatchNorm trunk,
+    dropout once after fc2) and `models/pointnet_pp_mvM.py:57-61,75-84`
+    (LayerNorm trunk, dropout after each fc).
+    """
+
+    fc_norm: str = "batch"  # norm used in the FC funnel ("batch" | "layer")
+    p_drop: float = 0.5
+    drop_each_fc: bool = False  # MvM style: dropout after fc1 AND fc2
+    sampling: str = "random"
+    grouping: str = "knn"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
+        sa_kwargs = dict(
+            sampling=self.sampling,
+            grouping=self.grouping,
+            bn_axis_name=self.bn_axis_name,
+        )
+        l1_xyz, l1_pts = SetAbstraction(128, 32, (64, 64, 128), **sa_kwargs)(
+            xyz, None, train=train
+        )
+        l2_xyz, l2_pts = SetAbstraction(32, 32, (128, 128, 256), **sa_kwargs)(
+            l1_xyz, l1_pts, train=train
+        )
+        _, l3_pts = SetAbstraction(
+            None, None, (256, 512, 1024), group_all=True, **sa_kwargs
+        )(l2_xyz, l2_pts, train=train)
+        x = l3_pts.reshape(xyz.shape[0], -1)  # (B, 1024)
+
+        def _norm():
+            if self.fc_norm == "batch":
+                return nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.bn_axis_name,
+                )
+            return nn.LayerNorm()
+
+        x = nn.relu(_norm()(nn.Dense(512)(x)))
+        if self.drop_each_fc:
+            x = nn.Dropout(self.p_drop)(x, deterministic=not train)
+        x = nn.relu(_norm()(nn.Dense(256)(x)))
+        x = nn.Dropout(self.p_drop)(x, deterministic=not train)
+        return x

@@ -1,0 +1,71 @@
+"""Point transformer: full self-attention over the point set.
+
+Parity: `models/point_transformer.py:4-20` — ``Linear(3 -> 64)``, a 6-layer
+4-head torch ``TransformerEncoder`` (post-norm, ReLU, feed-forward 2048,
+dropout 0.1 — torch defaults), mean pool, ``Linear(64 -> 3)``.
+
+TPU notes: attention over N points is O(N^2) and compiles to batched MXU
+matmuls via XLA's dot-general fusion. For large N the point axis can be
+sharded over a mesh axis (sequence parallelism) — see
+:mod:`pointcloud_orientation_tpu.parallel`, which annotates the ``(B, N, C)``
+activations with a named sharding and lets XLA insert the K/V all-gathers
+over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer with torch-default structure:
+
+    ``x = LN1(x + drop(SelfAttn(x)))``;
+    ``x = LN2(x + drop(W2 drop(relu(W1 x))))``.
+    """
+
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.embed_dim,
+            out_features=self.embed_dim,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+        )(x, x)
+        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(attn, deterministic=not train))
+        h = nn.relu(nn.Dense(self.ffn_dim)(x))
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = nn.Dense(self.embed_dim)(h)
+        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(h, deterministic=not train))
+        return x
+
+
+class PointTransformer(nn.Module):
+    """Embed points, run ``depth`` encoder layers, mean-pool, regress 3-vector."""
+
+    in_dim: int = 3
+    embed_dim: int = 64
+    num_heads: int = 4
+    depth: int = 6
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.Dense(self.embed_dim)(x)  # (B, N, E)
+        for _ in range(self.depth):
+            h = TransformerEncoderLayer(
+                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout
+            )(h, train=train)
+        h = jnp.mean(h, axis=1)  # (B, E)
+        return nn.Dense(3)(h)
