@@ -140,7 +140,8 @@ class OrientationDataset:
                 if not pad_final:
                     continue
                 pad = batch_size - len(chunk)
-                chunk = np.concatenate([chunk, order[:pad]])
+                wrap = np.tile(order, -(-pad // n))[:pad]
+                chunk = np.concatenate([chunk, wrap])
                 valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             yield chunk, valid, min((start + batch_size) / n, 1.0)
 

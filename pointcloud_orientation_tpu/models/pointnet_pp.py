@@ -18,8 +18,14 @@ from .layers import PointNetPPTrunk, SetAbstraction
 
 
 def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """torch ``F.normalize`` semantics: ``x / max(|x|, eps)``."""
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    """torch ``F.normalize`` semantics: ``x / max(|x|, eps)``.
+
+    The norm is computed as ``sqrt(max(sum(x^2), tiny))`` so its gradient is
+    defined (zero) at ``x = 0`` — torch's subgradient convention; a bare
+    ``jnp.linalg.norm`` yields NaN gradients there.
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, 1e-24))
     return x / jnp.maximum(n, eps)
 
 
@@ -208,9 +214,9 @@ class PointNetPPMvM(nn.Module):
 
         mu_raw = nn.Dense(self.max_K * 2, kernel_init=zeros, name="head_mu")(feat)
         mu_raw = mu_raw.reshape(-1, self.max_K, 2)
-        mu_unit = mu_raw / jnp.maximum(
-            jnp.linalg.norm(mu_raw, axis=-1, keepdims=True), 1e-4
-        )
+        # safe norm: gradient defined (0) at the zero-init point
+        sq = jnp.sum(mu_raw * mu_raw, axis=-1, keepdims=True)
+        mu_unit = mu_raw / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-24)), 1e-4)
         c, s = mu_unit[..., 0], mu_unit[..., 1]
         degenerate = jnp.hypot(c, s) < 1e-3
         c = jnp.where(degenerate, 1.0, c)

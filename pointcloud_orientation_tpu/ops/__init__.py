@@ -18,6 +18,7 @@ from .geometry import (
 )
 from .von_mises import (
     kl_von_mises,
+    wrap_angle,
     log_i0,
     bessel_ratio,
     von_mises_pdf,
@@ -45,6 +46,7 @@ __all__ = [
     "sample_and_group",
     "group_all",
     "kl_von_mises",
+    "wrap_angle",
     "log_i0",
     "bessel_ratio",
     "von_mises_pdf",

@@ -25,9 +25,14 @@ from .von_mises import kl_von_mises
 
 
 @lru_cache(maxsize=8)
-def _perms(k: int) -> jnp.ndarray:
-    """All permutations of ``range(k)`` as an ``(k!, k)`` int32 array."""
-    return jnp.asarray(list(itertools.permutations(range(k))), dtype=jnp.int32)
+def _perms(k: int):
+    """All permutations of ``range(k)`` as an ``(k!, k)`` int32 array.
+
+    NumPy (not jnp) so the cached constant never captures a trace context.
+    """
+    import numpy as np
+
+    return np.asarray(list(itertools.permutations(range(k))), dtype=np.int32)
 
 
 def hungarian_small(cost: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -42,7 +47,7 @@ def hungarian_small(cost: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array
     ``scipy.optimize.linear_sum_assignment`` for K <= 4.
     """
     B, K, _ = cost.shape
-    perms = _perms(K)  # (P, K)
+    perms = jnp.asarray(_perms(K))  # (P, K)
     P = perms.shape[0]
     valid_row = jnp.arange(K)[None, :] < k[:, None]  # (B, K)
 

@@ -1,0 +1,409 @@
+"""The unified trainer: one jitted train/eval step for every task.
+
+Replaces the ~70%-duplicated per-script loops of the reference (SURVEY.md
+§2.5 "shared structure") with one engine:
+
+seed -> split(70/15/15) -> for epoch: train + val phases -> track best-val
+params -> reload best -> test pass -> artifacts. Additions the reference
+lacks (SURVEY.md §5): Orbax checkpoint/resume with optimizer state, mean
+angular error, clouds/sec throughput, optional per-step finite checks
+(the `_debug` harness as a flag), and data parallelism over a device mesh.
+
+Parallelism: with a mesh, parameters are replicated and the batch is sharded
+over the ``data`` axis; the whole step runs under ``jax.jit`` so XLA inserts
+the gradient all-reduce over ICI (there is no hand-written collective).
+BatchNorm under jit computes *global-batch* statistics (XLA reduces across
+shards) — a documented improvement over the reference's per-device BN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..data import OrientationDataset, make_augment_fn
+from ..models import MODEL_REGISTRY
+from ..parallel import batch_sharding, replicate
+from .config import TrainConfig
+from .metrics import MetricsAccumulator, plot_loss_curves, write_summary_txt
+from .tasks import TASKS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Builds the model/optimizer/step functions for a config and runs the
+    canonical train/val/test protocol."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        dataset: OrientationDataset,
+        mesh=None,
+    ):
+        self.cfg = config
+        self.mesh = mesh
+        self.dataset = dataset
+        if config.classes is not None:
+            wanted = [c for c in config.classes if c in dataset.class_names]
+            if wanted and set(wanted) != set(dataset.class_names):
+                self.dataset = dataset.select_classes(wanted)
+        self.class_names = self.dataset.class_names
+        self.train_ds, self.val_ds, self.test_ds = self.dataset.split(config.seed)
+
+        self.model = self._build_model(MODEL_REGISTRY[config.model])
+        self.adapter = TASKS[config.task]
+
+        num_points = min(config.num_points, self.dataset.points.shape[1])
+        self.augment = make_augment_fn(
+            num_points=num_points,
+            rotation_mode=config.rotation_mode,
+            kappa_default=config.kappa_default,
+            max_k=config.max_k,
+        )
+
+        tx_parts = []
+        if config.grad_clip is not None:
+            tx_parts.append(optax.clip_by_global_norm(config.grad_clip))
+        tx_parts.append(optax.adam(config.lr))
+        self.tx = optax.chain(*tx_parts)
+
+        self.state = self._init_state()
+        self._train_step, self._eval_step = self._make_step_fns()
+        self.history: Dict[str, List[float]] = {
+            "train": [],
+            "val": [],
+            "train_ang": [],
+            "val_ang": [],
+        }
+        self.class_history: Dict[str, Dict[str, List[float]]] = {
+            c: {"train": [], "val": []} for c in self.class_names
+        }
+        self.best_val = float("inf")
+        self.best_params = None
+        self.best_batch_stats = None
+        self.best_val_epoch: Optional[int] = None
+        self.timings: Dict[str, float] = {}
+
+    # ---------- construction ----------
+
+    def _build_model(self, model_cls):
+        cfg = self.cfg
+        fields = {f.name for f in dataclasses.fields(model_cls)}
+        kwargs = {}
+        if "bn_axis_name" in fields and cfg.bn_sync_axis:
+            kwargs["bn_axis_name"] = cfg.bn_sync_axis
+        if cfg.model == "pointnet_pp_mvm":
+            kwargs["max_K"] = cfg.max_k
+        return model_cls(**kwargs)
+
+    def _init_state(self) -> TrainState:
+        cfg = self.cfg
+        num_points = min(cfg.num_points, self.dataset.points.shape[1])
+        dummy = jnp.zeros((cfg.batch_size, num_points, 3), jnp.float32)
+        rngs = {
+            "params": jax.random.PRNGKey(cfg.seed),
+            "dropout": jax.random.PRNGKey(cfg.seed + 1),
+            "sampling": jax.random.PRNGKey(cfg.seed + 2),
+        }
+        variables = self.model.init(rngs, dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict({}))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    @property
+    def has_batch_stats(self) -> bool:
+        return bool(jax.tree_util.tree_leaves(self.state.batch_stats))
+
+    def _variables(self, params, batch_stats):
+        if self.has_batch_stats:
+            return {"params": params, "batch_stats": batch_stats}
+        return {"params": params}
+
+    def _make_step_fns(self):
+        model, adapter, cfg = self.model, self.adapter, self.cfg
+        tx, has_bn = self.tx, self.has_batch_stats
+
+        def forward(params, batch_stats, batch, rng, train: bool):
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "sampling": jax.random.fold_in(rng, 1),
+            }
+            variables = self._variables(params, batch_stats)
+            if train and has_bn:
+                outputs, mut = model.apply(
+                    variables,
+                    batch["points"],
+                    train=True,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+                return outputs, mut.get("batch_stats", batch_stats)
+            outputs = model.apply(variables, batch["points"], train=train, rngs=rngs)
+            return outputs, batch_stats
+
+        def metrics_from(outputs, batch, per, valid):
+            scalar = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            if adapter.angular_error is not None:
+                ang = adapter.angular_error(outputs, batch, cfg)
+            else:
+                ang = jnp.full(per.shape, jnp.nan)
+            return {"loss": scalar, "per_sample": per, "angular": ang}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, valid, rng):
+            def loss_fn(params):
+                outputs, new_stats = forward(params, state.batch_stats, batch, rng, True)
+                per = adapter.loss(outputs, batch, cfg)
+                scalar = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                return scalar, (per, new_stats, outputs)
+
+            (scalar, (per, new_stats, outputs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                batch_stats=new_stats,
+            )
+            return new_state, metrics_from(outputs, batch, per, valid)
+
+        @jax.jit
+        def eval_step(state: TrainState, batch, valid, rng):
+            outputs, _ = forward(state.params, state.batch_stats, batch, rng, False)
+            per = adapter.loss(outputs, batch, cfg)
+            return metrics_from(outputs, batch, per, valid)
+
+        return train_step, eval_step
+
+    # ---------- data ----------
+
+    def _device_batch(self, ds: OrientationDataset, idx, valid, key):
+        pts, labels, uniform, symm, k_spec = ds.gather_host(idx)
+        batch = self.augment(
+            key,
+            jnp.asarray(pts),
+            jnp.asarray(uniform),
+            jnp.asarray(symm),
+            jnp.asarray(k_spec),
+        )
+        batch["labels"] = jnp.asarray(labels)
+        valid = jnp.asarray(valid)
+        if self.mesh is not None:
+            sharding = batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            valid = jax.device_put(valid, sharding)
+        return batch, valid, labels
+
+    # ---------- phases ----------
+
+    def _run_phase(
+        self, ds: OrientationDataset, train: bool, epoch: int
+    ) -> MetricsAccumulator:
+        cfg = self.cfg
+        acc = MetricsAccumulator(self.class_names)
+        base = jax.random.PRNGKey(cfg.seed * 7919 + (epoch if train else -1))
+        eval_base = jax.random.PRNGKey(cfg.seed * 104729 + 17)
+        n_clouds = 0
+        t0 = time.perf_counter()
+        for bi, (idx, valid, _) in enumerate(
+            ds.batches(cfg.batch_size, shuffle=train, seed=cfg.seed + epoch)
+        ):
+            # train: fresh augmentation every epoch; eval: frozen per-batch
+            # keys so the val/test rotations are deterministic across epochs
+            # (the reference's offline-rotated eval sets).
+            key = (
+                jax.random.fold_in(base, bi)
+                if train
+                else jax.random.fold_in(eval_base, bi)
+            )
+            batch, valid_dev, labels = self._device_batch(ds, idx, valid, key)
+            step_rng = jax.random.fold_in(key, 123)
+            if train:
+                self.state, metrics = self._train_step(
+                    self.state, batch, valid_dev, step_rng
+                )
+            else:
+                metrics = self._eval_step(self.state, batch, valid_dev, step_rng)
+            per = np.asarray(metrics["per_sample"])
+            ang = np.asarray(metrics["angular"])
+            if cfg.debug_checks:
+                self._debug_check(metrics, epoch, bi)
+            acc.update(per, labels, np.asarray(valid), ang)
+            n_clouds += int(np.sum(valid))
+        jax.block_until_ready(self.state.params)
+        dt = time.perf_counter() - t0
+        phase = "train" if train else "eval"
+        self.timings[f"{phase}_clouds_per_sec"] = n_clouds / max(dt, 1e-9)
+        self.timings[f"{phase}_seconds"] = dt
+        return acc
+
+    def _debug_check(self, metrics, epoch: int, batch_idx: int):
+        """Per-step finite assertions — the `_debug` harness
+        (`train_multi_peaks_vonMises_KL_debug.py:49-68,277-306`) as a flag."""
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            per = np.asarray(metrics["per_sample"])
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} batch {batch_idx}: "
+                f"loss={loss}, per-sample={per}"
+            )
+
+    # ---------- the protocol ----------
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        log_every: int = 1,
+        checkpoint_dir: Optional[str] = None,
+    ) -> Dict[str, List[float]]:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        t_start = time.time()
+        for epoch in range(1, epochs + 1):
+            t_ep = time.time()
+            tr = self._run_phase(self.train_ds, train=True, epoch=epoch)
+            va = self._run_phase(self.val_ds, train=False, epoch=epoch)
+            self.history["train"].append(tr.mean_loss)
+            self.history["val"].append(va.mean_loss)
+            self.history["train_ang"].append(tr.mean_angular_error)
+            self.history["val_ang"].append(va.mean_angular_error)
+            for c, v in tr.per_class_mean().items():
+                self.class_history[c]["train"].append(v)
+            for c, v in va.per_class_mean().items():
+                self.class_history[c]["val"].append(v)
+
+            if va.mean_loss < self.best_val:
+                self.best_val = va.mean_loss
+                self.best_params = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x), self.state.params
+                )
+                self.best_batch_stats = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x), self.state.batch_stats
+                )
+                self.best_val_epoch = epoch
+
+            if checkpoint_dir and cfg.checkpoint_every and (
+                epoch % cfg.checkpoint_every == 0
+            ):
+                self.save_checkpoint(checkpoint_dir, step=epoch)
+
+            if log_every and epoch % log_every == 0:
+                elapsed = time.time() - t_ep
+                eta = (time.time() - t_start) / epoch * (epochs - epoch)
+                print(
+                    f"Ep {epoch:03}/{epochs}  "
+                    f"Train {tr.mean_loss:.4f}  Val {va.mean_loss:.4f}  "
+                    f"ang(val) {va.mean_angular_error:.2f}deg  "
+                    f"{elapsed:.1f}s  ETA {eta / 60:.1f}m  "
+                    f"({self.timings['train_clouds_per_sec']:.0f} clouds/s)"
+                )
+        return self.history
+
+    def load_best(self):
+        """Reload the best-val snapshot (reference: `train.py:216-217`)."""
+        if self.best_params is not None:
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, self.best_params),
+                batch_stats=jax.tree_util.tree_map(
+                    jnp.asarray, self.best_batch_stats
+                ),
+            )
+
+    def test(self) -> MetricsAccumulator:
+        self.load_best()
+        return self._run_phase(self.test_ds, train=False, epoch=0)
+
+    def predict(self, points: np.ndarray, rng: Optional[jax.Array] = None):
+        """Single forward pass on raw (B, N, 3) clouds with the current
+        params (eval mode)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = self._variables(self.state.params, self.state.batch_stats)
+        return self.model.apply(
+            variables,
+            jnp.asarray(points),
+            train=False,
+            rngs={"sampling": rng},
+        )
+
+    # ---------- artifacts ----------
+
+    def write_artifacts(self, out_dir: str, test_acc: Optional[MetricsAccumulator] = None):
+        os.makedirs(out_dir, exist_ok=True)
+        plot_loss_curves(
+            self.history["train"],
+            self.history["val"],
+            os.path.join(out_dir, "loss_curve.png"),
+            title=f"{self.cfg.task} loss",
+        )
+        per_class = (
+            test_acc.per_class_mean() if test_acc is not None else
+            {c: h["val"][-1] if h["val"] else float("nan")
+             for c, h in self.class_history.items()}
+        )
+        overall = test_acc.mean_loss if test_acc is not None else (
+            self.history["val"][-1] if self.history["val"] else float("nan")
+        )
+        write_summary_txt(os.path.join(out_dir, "summary.txt"), per_class, overall)
+
+    # ---------- checkpointing ----------
+
+    def save_checkpoint(self, directory: str, step: Optional[int] = None):
+        """Orbax checkpoint of params + BN stats + optimizer state — the
+        mid-run checkpoint/resume path the reference lacks (SURVEY.md §5)."""
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        step = int(step if step is not None else self.state.step)
+        path = os.path.join(directory, f"step_{step}")
+        ckpt = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                np.asarray, self.state.batch_stats
+            ),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
+            "step": np.asarray(self.state.step),
+        }
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, ckpt, force=True)
+        return path
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckpt = ckptr.restore(os.path.abspath(path))
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]),
+            step=jnp.asarray(ckpt["step"]),
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
