@@ -1,0 +1,121 @@
+"""Headline benchmark: point-clouds/sec/chip at 1024 points (train+infer).
+
+Flagship workload: PointNetPP8Dir with the soft-label-KL objective — the
+minimum end-to-end slice of SURVEY.md §7 — measured as an even mix of
+optimizer steps and inference passes, matching the protocol of
+``benchmarks/torch_baseline.py`` (the reference-equivalent PyTorch CPU
+implementation that provides the ``vs_baseline`` denominator).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
+POINTS = int(os.environ.get("BENCH_POINTS", 1024))
+STEPS = int(os.environ.get("BENCH_STEPS", 50))
+# measured by benchmarks/torch_baseline.py on this container's CPU
+FALLBACK_BASELINE = 32.05
+
+
+def _baseline_clouds_per_sec() -> float:
+    path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_torch.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["clouds_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return FALLBACK_BASELINE
+
+
+def main():
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+
+    model = PointNetPP8Dir()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH, POINTS, 3), jnp.float32)
+    target = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (BATCH, 8)))
+
+    variables = model.init(
+        {"params": key, "dropout": key, "sampling": key}, x, train=False
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, rng, x, target):
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 0),
+                      "sampling": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"],
+            )
+            loss = -jnp.mean(jnp.sum(target * jax.nn.log_softmax(logits, -1), -1))
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch_stats, rng, x):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            rngs={"sampling": rng},
+        )
+
+    # warmup / compile
+    rng = jax.random.PRNGKey(7)
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, rng, x, target
+    )
+    jax.block_until_ready(loss)
+    jax.block_until_ready(eval_step(params, batch_stats, rng, x))
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, jax.random.fold_in(rng, i), x, target
+        )
+    jax.block_until_ready(loss)
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(STEPS):
+        out = eval_step(params, batch_stats, jax.random.fold_in(rng, 10_000 + i), x)
+    jax.block_until_ready(out)
+    t_eval = time.perf_counter() - t0
+
+    clouds = BATCH * STEPS * 2
+    value = clouds / (t_train + t_eval)
+    baseline = _baseline_clouds_per_sec()
+    print(
+        json.dumps(
+            {
+                "metric": f"point-clouds/sec/chip (train+infer) at {POINTS} pts",
+                "value": round(value, 2),
+                "unit": "clouds/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
