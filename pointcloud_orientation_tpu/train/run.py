@@ -1,0 +1,137 @@
+"""CLI entry point: ``python -m pointcloud_orientation_tpu.train.run``.
+
+One command replaces the reference's ten ``python <script>.py`` entry points
+(SURVEY.md §2.5): pick a preset, a data source, and overrides.
+
+Examples
+--------
+Train the 8-dir soft-label-KL config on synthetic data (smoke):
+
+    python -m pointcloud_orientation_tpu.train.run --preset 8dir_kl \
+        --data synthetic --epochs 5 --out results/8dir_kl
+
+Train on a ModelNet40 HDF5 archive:
+
+    python -m pointcloud_orientation_tpu.train.run --preset mvm \
+        --data hdf5:/data/modelnet40_ply_hdf5_2048 --out results/mvm
+
+Per-label training over every category (the `train.py` protocol):
+
+    python -m pointcloud_orientation_tpu.train.run --preset axes_all_labels \
+        --data hdf5:/data/modelnet40_ply_hdf5_2048 --out results/axes
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data import OrientationDataset
+from ..parallel import make_mesh
+from .config import PRESETS, preset
+from .metrics import write_mvm_results_txt, write_summary_txt
+from .trainer import Trainer
+
+
+def load_dataset(spec: str, num_points: int) -> OrientationDataset:
+    if spec == "synthetic":
+        return OrientationDataset.synthetic(
+            samples_per_class=64, num_points=max(num_points, 512)
+        )
+    if spec.startswith("hdf5:"):
+        return OrientationDataset.from_hdf5(spec[len("hdf5:") :])
+    if spec.startswith("ply:"):
+        return OrientationDataset.from_ply_tree(spec[len("ply:") :], num_points)
+    raise ValueError(f"unknown data spec: {spec} (use synthetic | hdf5:DIR | ply:DIR)")
+
+
+def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = None):
+    trainer = Trainer(cfg, dataset, mesh=mesh)
+    trainer.fit(checkpoint_dir=os.path.join(out_dir, "ckpt") if cfg.checkpoint_every else None)
+    test_acc = trainer.test()
+    trainer.write_artifacts(out_dir, test_acc)
+    print(
+        f"[{label or cfg.task}] test loss {test_acc.mean_loss:.6f}  "
+        f"angular {test_acc.mean_angular_error:.2f} deg  "
+        f"best val {trainer.best_val:.6f} @ epoch {trainer.best_val_epoch}"
+    )
+    if cfg.task == "mvm":
+        hist = {"total": {"train": trainer.history["train"], "val": trainer.history["val"]}}
+        hist.update(trainer.class_history)
+        write_mvm_results_txt(
+            os.path.join(out_dir, "results.txt"),
+            trainer.class_names,
+            hist,
+            test_kl=test_acc.mean_loss,
+            best_val_epoch=trainer.best_val_epoch,
+        )
+    return trainer, test_acc
+
+
+def run_per_label(cfg, dataset, out_dir: str, mesh=None):
+    """The `train.py:250-276` protocol: one model per category, appending a
+    per-label summary."""
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    for label in dataset.class_names:
+        sub_cfg = cfg.replace(classes=(label,), per_label=False)
+        label_dir = os.path.join(out_dir, label)
+        trainer, test_acc = run_single(
+            sub_cfg, dataset.select_classes([label]), label_dir, mesh, label=label
+        )
+        summary[label] = trainer.best_val
+        # append-as-you-go like the reference's summary.txt
+        write_summary_txt(os.path.join(out_dir, "summary.txt"), summary)
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    ap.add_argument("--data", default="synthetic")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--num-points", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--classes", default=None, help="comma-separated override")
+    ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
+    ap.add_argument("--debug-checks", action="store_true")
+    args = ap.parse_args(argv)
+
+    overrides = {}
+    for field in ("epochs", "batch_size", "num_points", "lr", "seed", "checkpoint_every"):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
+    if args.classes:
+        overrides["classes"] = tuple(args.classes.split(","))
+    if args.debug_checks:
+        overrides["debug_checks"] = True
+    cfg = preset(args.preset, **overrides)
+
+    mesh = None
+    if args.mesh:
+        axis, _, size = args.mesh.partition(":")
+        mesh = make_mesh((axis,), (int(size),) if size else None)
+
+    dataset = load_dataset(args.data, cfg.num_points)
+    out_dir = args.out or os.path.join(cfg.out_dir, args.preset)
+
+    t0 = time.time()
+    if cfg.per_label:
+        run_per_label(cfg, dataset, out_dir, mesh)
+    else:
+        run_single(cfg, dataset, out_dir, mesh)
+    print(f"done in {(time.time() - t0) / 60:.1f} min; artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

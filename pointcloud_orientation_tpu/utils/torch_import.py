@@ -1,0 +1,133 @@
+"""Import PyTorch reference checkpoints into the flax parameter pytree.
+
+The reference saves raw ``state_dict``s (e.g. ``mvM_best.pth``,
+`train_multi_peaks_vonMises_KL.py:289-290`). This converter maps its naming
+scheme (`models/pointnet_pp.py:14-19,52-57`: ``sa{1..3}.convs.{i}`` /
+``sa.bns.{i}`` / ``fc1/fc2/bn1/bn2`` or ``ln1/ln2`` / head layers) onto the
+flax tree (``PointNetPPTrunk_0/SetAbstraction_{k}/SharedMLP_0/Dense_{i}`` ...)
+so trained reference weights can be validated against this stack.
+
+Layout conversions: torch ``Conv2d(Cin, Cout, 1)`` weight ``(Cout, Cin, 1, 1)``
+-> Dense kernel ``(Cin, Cout)``; torch ``Linear`` weight ``(out, in)`` ->
+kernel ``(in, out)``; BN ``weight/bias/running_mean/running_var`` ->
+``scale/bias`` params + ``mean/var`` batch stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+# Head layers per model name (torch layer -> flax module name).
+_HEADS = {
+    "pointnet_pp": {"fc3": "Dense_0"},
+    "pointnet_pp_8dir": {"fc3": "Dense_0"},
+    "pointnet_pp_fwd": {"fc3": "Dense_0"},
+    "pointnet_pp_von_mises": {"fc3": "Dense_0"},
+    "pointnet_pp_xyz": {"head_x": "head_x", "head_y": "head_y"},
+    "pointnet_pp_xyz_schmidt": {"head_y": "head_y", "head_z": "head_z"},
+    "pointnet_pp_mvm": {
+        "head_pi": "head_pi",
+        "head_mu": "head_mu",
+        "head_kappa": "head_kappa",
+    },
+}
+
+
+def _to_np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def import_pointnet_pp_state_dict(
+    state_dict: Mapping[str, Any], model: str = "pointnet_pp_8dir"
+) -> Tuple[Dict, Dict]:
+    """Convert a reference PointNet++-family ``state_dict`` to
+    ``(params, batch_stats)`` pytrees for the matching flax model."""
+    if model not in _HEADS:
+        raise ValueError(f"unsupported model for import: {model}")
+    params: Dict = {}
+    stats: Dict = {}
+    trunk = ("PointNetPPTrunk_0",)
+    mvm = model == "pointnet_pp_mvm"
+
+    for name, tensor in state_dict.items():
+        arr = _to_np(tensor)
+        parts = name.split(".")
+        # --- SA stages: sa{k}.convs.{i}.* / sa{k}.bns.{i}.* ---
+        if parts[0].startswith("sa") and len(parts) >= 4:
+            k = int(parts[0][2:]) - 1
+            i = int(parts[2])
+            base = trunk + (f"SetAbstraction_{k}", "SharedMLP_0")
+            if parts[1] == "convs":
+                if parts[3] == "weight":
+                    _set(params, base + (f"Dense_{i}", "kernel"), arr[:, :, 0, 0].T)
+                else:
+                    _set(params, base + (f"Dense_{i}", "bias"), arr)
+            elif parts[1] == "bns":
+                leaf = parts[3]
+                if leaf == "weight":
+                    _set(params, base + (f"BatchNorm_{i}", "scale"), arr)
+                elif leaf == "bias":
+                    _set(params, base + (f"BatchNorm_{i}", "bias"), arr)
+                elif leaf == "running_mean":
+                    _set(stats, base + (f"BatchNorm_{i}", "mean"), arr)
+                elif leaf == "running_var":
+                    _set(stats, base + (f"BatchNorm_{i}", "var"), arr)
+            continue
+        # --- trunk FC funnel ---
+        if parts[0] in ("fc1", "fc2"):
+            idx = 0 if parts[0] == "fc1" else 1
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            val = arr.T if parts[1] == "weight" else arr
+            _set(params, trunk + (f"Dense_{idx}", leaf), val)
+            continue
+        if parts[0] in ("bn1", "bn2") and not mvm:
+            idx = 0 if parts[0] == "bn1" else 1
+            leaf = parts[1]
+            if leaf == "weight":
+                _set(params, trunk + (f"BatchNorm_{idx}", "scale"), arr)
+            elif leaf == "bias":
+                _set(params, trunk + (f"BatchNorm_{idx}", "bias"), arr)
+            elif leaf == "running_mean":
+                _set(stats, trunk + (f"BatchNorm_{idx}", "mean"), arr)
+            elif leaf == "running_var":
+                _set(stats, trunk + (f"BatchNorm_{idx}", "var"), arr)
+            continue
+        if parts[0] in ("ln1", "ln2") and mvm:
+            idx = 0 if parts[0] == "ln1" else 1
+            leaf = "scale" if parts[1] == "weight" else "bias"
+            _set(params, trunk + (f"LayerNorm_{idx}", leaf), arr)
+            continue
+        # --- heads ---
+        head_map = _HEADS[model]
+        if parts[0] in head_map:
+            flax_name = head_map[parts[0]]
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            val = arr.T if parts[1] == "weight" else arr
+            _set(params, (flax_name, leaf), val)
+            continue
+        if parts[-1] == "num_batches_tracked":
+            continue
+        raise KeyError(f"unmapped state_dict entry: {name}")
+    return params, stats
+
+
+def load_torch_checkpoint(
+    path: str, model: str = "pointnet_pp_8dir"
+) -> Tuple[Dict, Dict]:
+    """Load a ``.pth`` state_dict file and convert it."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_pointnet_pp_state_dict(sd, model)

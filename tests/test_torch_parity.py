@@ -1,0 +1,125 @@
+"""Numerical parity against the PyTorch reference implementation.
+
+Loads the reference models from /root/reference (skipped when absent),
+randomizes their weights, imports the state_dict through the converter, and
+checks both stacks produce the same outputs on the same input.
+
+Sampling is made deterministic on both sides by patching ``torch.randperm``
+to identity (the reference's random-centroid path) and leaving our model
+without a sampling rng (the deterministic 'first' fallback) — the two then
+select identical centroids.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference not mounted"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from pointcloud_orientation_tpu.models import (  # noqa: E402
+    PointNetPP,
+    PointNetPP8Dir,
+    PointNetPPMvM,
+    PointNetPPVonMises,
+    PointNetPPXYZSchmidt,
+)
+from pointcloud_orientation_tpu.utils import import_pointnet_pp_state_dict  # noqa: E402
+
+B, N = 3, 256
+
+
+@pytest.fixture
+def cloud(rng):
+    return rng.normal(size=(B, N, 3)).astype(np.float32)
+
+
+@pytest.fixture(autouse=True)
+def deterministic_sampling(monkeypatch):
+    monkeypatch.setattr(torch, "randperm", lambda n, **kw: torch.arange(n))
+
+
+def _randomize(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.01)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    model.eval()
+    return model
+
+
+def _ours(model_cls, name, torch_model, x, **kw):
+    params, stats = import_pointnet_pp_state_dict(torch_model.state_dict(), name)
+    variables = {"params": params, "batch_stats": stats}
+    return model_cls(**kw).apply(variables, jnp.asarray(x), train=False)
+
+
+def test_pp8dir_parity(cloud):
+    from models.pointnet_pp_8dir import PointNetPP8Dir as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    got = np.asarray(_ours(PointNetPP8Dir, "pointnet_pp_8dir", tm, cloud))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_pp_forward_parity(cloud):
+    from models.pointnet_pp import PointNetPP as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    got = np.asarray(_ours(PointNetPP, "pointnet_pp", tm, cloud))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_von_mises_parity(cloud):
+    from models.pointnet_pp_vonMises import PointNetPPVonMises as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        mu_t, kappa_t = tm(torch.from_numpy(cloud))
+    mu_j, kappa_j = _ours(PointNetPPVonMises, "pointnet_pp_von_mises", tm, cloud)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kappa_j), kappa_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_xyz_schmidt_parity(cloud):
+    from models.Pointnet_pp_xyz_Schedmit import PointNetPPXYZ_Schedmit as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        v2_t, v3_t = tm(torch.from_numpy(cloud))
+    v2_j, v3_j = _ours(PointNetPPXYZSchmidt, "pointnet_pp_xyz_schmidt", tm, cloud)
+    np.testing.assert_allclose(np.asarray(v2_j), v2_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v3_j), v3_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_mvm_parity(cloud):
+    from models.pointnet_pp_mvM import PointNetPPMvM as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        mu_t, kappa_t, w_t = tm(torch.from_numpy(cloud))
+    mu_j, kappa_j, w_j = _ours(PointNetPPMvM, "pointnet_pp_mvm", tm, cloud)
+    np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kappa_j), kappa_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
