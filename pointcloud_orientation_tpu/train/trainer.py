@@ -83,8 +83,11 @@ class Trainer:
         tx_parts.append(optax.adam(config.lr))
         self.tx = optax.chain(*tx_parts)
 
+        self.num_points = num_points
         self.state = self._init_state()
         self._train_step, self._eval_step = self._make_step_fns()
+        self._train_epoch, self._eval_epoch = self._make_epoch_fns()
+        self._resident_cache: Dict[int, Dict[str, jax.Array]] = {}
         self.history: Dict[str, List[float]] = {
             "train": [],
             "val": [],
@@ -202,6 +205,142 @@ class Trainer:
 
         return train_step, eval_step
 
+    # ---------- whole-epoch scan path (the fast TPU path) ----------
+
+    def _resident(self, ds: OrientationDataset) -> Dict[str, jax.Array]:
+        """Device-resident copy of a split: transferred once, indexed on
+        device every step — no per-batch host gather or H2D copies (the
+        reference re-parses ASCII files per batch, SURVEY.md §3.1)."""
+        cache_key = id(ds)
+        if cache_key not in self._resident_cache:
+            resident = {
+                "points": jnp.asarray(ds.points),
+                "labels": jnp.asarray(ds.labels),
+                "uniform": jnp.asarray(ds.uniform_mask),
+                "symm": jnp.asarray(ds.symm_mask),
+                "k_spec": jnp.asarray(ds.k_spec),
+            }
+            if self.mesh is not None:
+                resident = replicate(resident, self.mesh)
+            self._resident_cache[cache_key] = resident
+        return self._resident_cache[cache_key]
+
+    def _make_epoch_fns(self):
+        """jit-compiled whole-epoch functions: gather -> augment -> step,
+        scanned over all batches in one XLA program. Zero host round trips
+        inside an epoch; metrics come back stacked at the end."""
+        model, adapter, cfg, tx = self.model, self.adapter, self.cfg, self.tx
+        has_bn = self.has_batch_stats
+        mesh = self.mesh
+
+        def constrain(tree):
+            if mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(mesh, P("data"))
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, s), tree
+            )
+
+        def build_batch(resident, idx, key):
+            pts = jnp.take(resident["points"], idx, axis=0)
+            batch = self.augment(
+                key,
+                pts,
+                jnp.take(resident["uniform"], idx),
+                jnp.take(resident["symm"], idx),
+                jnp.take(resident["k_spec"], idx),
+            )
+            batch["labels"] = jnp.take(resident["labels"], idx)
+            return constrain(batch)
+
+        def forward(params, batch_stats, batch, rng, train: bool):
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "sampling": jax.random.fold_in(rng, 1),
+            }
+            variables = self._variables(params, batch_stats)
+            if train and has_bn:
+                outputs, mut = model.apply(
+                    variables, batch["points"], train=True, rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+                return outputs, mut.get("batch_stats", batch_stats)
+            outputs = model.apply(variables, batch["points"], train=train, rngs=rngs)
+            return outputs, batch_stats
+
+        def outputs_metrics(outputs, batch, per):
+            if adapter.angular_error is not None:
+                ang = adapter.angular_error(outputs, batch, cfg)
+            else:
+                ang = jnp.full(per.shape, jnp.nan)
+            return per, ang, batch["labels"]
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_epoch(state, resident, idx_mat, valid_mat, base_key):
+            def body(state, xs):
+                step_i, idx, valid = xs
+                key = jax.random.fold_in(base_key, step_i)
+                batch = build_batch(resident, idx, key)
+                rng = jax.random.fold_in(key, 123)
+
+                def loss_fn(params):
+                    outputs, new_stats = forward(
+                        params, state.batch_stats, batch, rng, True
+                    )
+                    per = adapter.loss(outputs, batch, cfg)
+                    scalar = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                    return scalar, (per, new_stats, outputs)
+
+                (_, (per, new_stats, outputs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                state = state.replace(
+                    step=state.step + 1,
+                    params=params,
+                    opt_state=opt_state,
+                    batch_stats=new_stats,
+                )
+                return state, outputs_metrics(outputs, batch, per)
+
+            nb = idx_mat.shape[0]
+            xs = (jnp.arange(nb), idx_mat, valid_mat)
+            state, (per, ang, labels) = jax.lax.scan(body, state, xs)
+            return state, per, ang, labels
+
+        @jax.jit
+        def eval_epoch(state, resident, idx_mat, valid_mat, base_key):
+            def body(_, xs):
+                step_i, idx, valid = xs
+                key = jax.random.fold_in(base_key, step_i)
+                batch = build_batch(resident, idx, key)
+                rng = jax.random.fold_in(key, 123)
+                outputs, _stats = forward(state.params, state.batch_stats, batch, rng, False)
+                per = adapter.loss(outputs, batch, cfg)
+                return None, outputs_metrics(outputs, batch, per)
+
+            nb = idx_mat.shape[0]
+            xs = (jnp.arange(nb), idx_mat, valid_mat)
+            _, (per, ang, labels) = jax.lax.scan(body, None, xs)
+            return per, ang, labels
+
+        return train_epoch, eval_epoch
+
+    def _epoch_batches(self, ds: OrientationDataset, train: bool, epoch: int):
+        idxs, valids = [], []
+        for idx, valid, _ in ds.batches(
+            self.cfg.batch_size, shuffle=train, seed=self.cfg.seed + epoch
+        ):
+            idxs.append(idx)
+            valids.append(valid)
+        return (
+            jnp.asarray(np.stack(idxs)),
+            jnp.asarray(np.stack(valids).astype(np.float32)),
+        )
+
     # ---------- data ----------
 
     def _device_batch(self, ds: OrientationDataset, idx, valid, key):
@@ -226,6 +365,47 @@ class Trainer:
     def _run_phase(
         self, ds: OrientationDataset, train: bool, epoch: int
     ) -> MetricsAccumulator:
+        if not self.cfg.debug_checks:
+            return self._run_phase_scan(ds, train, epoch)
+        return self._run_phase_stepwise(ds, train, epoch)
+
+    def _run_phase_scan(
+        self, ds: OrientationDataset, train: bool, epoch: int
+    ) -> MetricsAccumulator:
+        """One jit-compiled program per epoch (lax.scan over batches)."""
+        cfg = self.cfg
+        acc = MetricsAccumulator(self.class_names)
+        resident = self._resident(ds)
+        idx_mat, valid_mat = self._epoch_batches(ds, train, epoch)
+        base_key = (
+            jax.random.PRNGKey(cfg.seed * 7919 + epoch)
+            if train
+            else jax.random.PRNGKey(cfg.seed * 104729 + 17)
+        )
+        t0 = time.perf_counter()
+        if train:
+            self.state, per, ang, labels = self._train_epoch(
+                self.state, resident, idx_mat, valid_mat, base_key
+            )
+        else:
+            per, ang, labels = self._eval_epoch(
+                self.state, resident, idx_mat, valid_mat, base_key
+            )
+        per, ang, labels = (np.asarray(per), np.asarray(ang), np.asarray(labels))
+        valid_np = np.asarray(valid_mat)
+        dt = time.perf_counter() - t0
+        acc.update(per.reshape(-1), labels.reshape(-1), valid_np.reshape(-1), ang.reshape(-1))
+        phase = "train" if train else "eval"
+        n_clouds = float(valid_np.sum())
+        self.timings[f"{phase}_clouds_per_sec"] = n_clouds / max(dt, 1e-9)
+        self.timings[f"{phase}_seconds"] = dt
+        return acc
+
+    def _run_phase_stepwise(
+        self, ds: OrientationDataset, train: bool, epoch: int
+    ) -> MetricsAccumulator:
+        """Per-step dispatch with host-visible intermediates — the debug path
+        (finite checks per step, `debug_checks=True`)."""
         cfg = self.cfg
         acc = MetricsAccumulator(self.class_names)
         base = jax.random.PRNGKey(cfg.seed * 7919 + (epoch if train else -1))
