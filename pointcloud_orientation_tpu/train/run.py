@@ -50,11 +50,74 @@ def load_dataset(spec: str, num_points: int) -> OrientationDataset:
     raise ValueError(f"unknown data spec: {spec} (use synthetic | hdf5:DIR | ply:DIR)")
 
 
+def _decode_axes(task: str, outputs, i: int):
+    """Decode one sample's model outputs to [side, up, forward] vectors for
+    the axes-PLY overlay (reference decodes: `train.py:236-237` cross
+    product; `train_8dir.py:119-139` probability-weighted direction with a
+    fixed up axis)."""
+    from ..ops import DIRS_8
+    from ..viz.axes_export import axes_from_two_heads
+
+    up = np.array([0.0, 1.0, 0.0])
+
+    def from_forward(fwd):
+        fwd = np.asarray(fwd, np.float64)
+        fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+        side = np.cross(up, fwd)
+        side /= np.linalg.norm(side) + 1e-12
+        return [side, up, fwd]
+
+    if task == "axes":
+        vy, vz = np.asarray(outputs[0][i]), np.asarray(outputs[1][i])
+        return axes_from_two_heads(vy, vz)
+    if task in ("8dir_mse", "8dir_kl"):
+        import jax.nn
+
+        probs = np.asarray(jax.nn.softmax(outputs[i]))
+        return from_forward(probs @ np.asarray(DIRS_8))
+    if task in ("forward_mse", "multi_8dir"):
+        return from_forward(np.asarray(outputs[i]))
+    if task == "vm_kl":
+        mu = float(outputs[0][i])
+        return from_forward([np.sin(mu), 0.0, -np.cos(mu)])
+    if task == "mvm":
+        mu_all, _, w = outputs
+        mu = float(np.asarray(mu_all[i])[np.argmax(np.asarray(w[i]))])
+        return from_forward([np.sin(mu), 0.0, -np.cos(mu)])
+    return None
+
+
+def export_test_predictions(trainer, out_dir: str, max_count: int = 10):
+    """Write up to 10 axes-annotated prediction PLYs from the test split —
+    the reference's end-of-training visualization artifact
+    (`train.py:228-246`)."""
+    from ..data.ply import write_ply_with_axes
+
+    ds = trainer.test_ds
+    n = min(max_count, len(ds))
+    if n == 0:
+        return 0
+    clouds = ds.points[:n, : trainer.num_points]
+    outputs = trainer.predict(clouds)
+    written = 0
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n):
+        axes = _decode_axes(trainer.cfg.task, outputs, i)
+        if axes is None:
+            return 0
+        write_ply_with_axes(
+            clouds[i], axes, os.path.join(out_dir, f"sample_{i}_pred_{i + 1}.ply")
+        )
+        written += 1
+    return written
+
+
 def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = None):
     trainer = Trainer(cfg, dataset, mesh=mesh)
     trainer.fit(checkpoint_dir=os.path.join(out_dir, "ckpt") if cfg.checkpoint_every else None)
     test_acc = trainer.test()
     trainer.write_artifacts(out_dir, test_acc)
+    export_test_predictions(trainer, os.path.join(out_dir, "pred_ply"))
     print(
         f"[{label or cfg.task}] test loss {test_acc.mean_loss:.6f}  "
         f"angular {test_acc.mean_angular_error:.2f} deg  "
@@ -70,6 +133,18 @@ def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = Non
             test_kl=test_acc.mean_loss,
             best_val_epoch=trainer.best_val_epoch,
         )
+        # polar density plots of a few test predictions
+        # (`visualization/visualization_MVM.py` rendering)
+        from ..viz import plot_predicted_density
+
+        n = min(4, len(trainer.test_ds))
+        if n:
+            mu, kappa, w = trainer.predict(trainer.test_ds.points[:n, : trainer.num_points])
+            for i in range(n):
+                plot_predicted_density(
+                    mu[i], kappa[i], w[i],
+                    os.path.join(out_dir, "figs", f"pred_density_{i}.png"),
+                )
     return trainer, test_acc
 
 
