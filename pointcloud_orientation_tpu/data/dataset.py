@@ -35,11 +35,22 @@ def split_indices(
 @dataclasses.dataclass
 class OrientationDataset:
     """Canonical (un-rotated) clouds + labels, plus per-sample class behavior
-    arrays consumed by the on-device GT synthesis."""
+    arrays consumed by the on-device GT synthesis.
+
+    ``targets`` optionally carries *stored* ground truth imported from the
+    reference's sidecar files (keys matching the pipeline's batch dict:
+    ``axes``, ``forward``, ``probs_8dir``, ``vm_mu``, ``vm_kappa``,
+    ``mvm_mu``, ``mvm_kappa``, ``mvm_weight``, ``mvm_k``). When present and
+    training runs with ``rotation_mode='none'``, the trainer uses these
+    instead of synthesizing GT from a sampled rotation — i.e. training on a
+    pre-rotated reference dataset exactly as its dataloaders do
+    (`dataloader.py`, `dataloader_*_vonMises.py`, `dataloader_8dir_sampled.py`).
+    """
 
     points: np.ndarray  # (S, M, 3) float32
     labels: np.ndarray  # (S,) int32
     class_names: List[str]
+    targets: Optional[dict] = None
 
     def __post_init__(self):
         uniform, symm, k = class_masks(self.class_names)
@@ -64,12 +75,31 @@ class OrientationDataset:
 
     @classmethod
     def from_ply_tree(
-        cls, root: str, num_points: int, classes: Optional[Sequence[str]] = None
+        cls,
+        root: str,
+        num_points: int,
+        classes: Optional[Sequence[str]] = None,
+        load_sidecars: bool = False,
+        max_k: int = 4,
     ) -> "OrientationDataset":
         """Import a reference-layout PLY tree (``root/<class>/*.ply``),
         resampling every cloud to ``num_points`` so the pack is rectangular.
+
+        With ``load_sidecars=True`` the GT sidecar files next to each PLY
+        (axes ``.txt``, ``_8dir.txt``, ``_single_peak_vM_gt.txt``,
+        ``_multi_peak_vM_gt.txt``) are packed into ``targets`` so training
+        can consume a pre-rotated reference dataset directly
+        (``rotation_mode='none'``). Missing-file fallbacks mirror the
+        reference dataloaders (uniform 8-dir, (0,0) vM).
         """
         import os
+
+        from .sidecar import (
+            read_8dir_txt,
+            read_axes_txt,
+            read_multi_peak_vm_txt,
+            read_single_peak_vm_txt,
+        )
 
         rng = np.random.default_rng(0)
         names = sorted(
@@ -80,24 +110,72 @@ class OrientationDataset:
         if classes is not None:
             names = [n for n in names if n in set(classes)]
         clouds, labels = [], []
+        tg = {
+            "axes": [], "probs_8dir": [], "vm_mu": [], "vm_kappa": [],
+            "mvm_mu": [], "mvm_kappa": [], "mvm_weight": [], "mvm_k": [],
+        }
         for ci, name in enumerate(names):
             cdir = os.path.join(root, name)
             for fname in sorted(os.listdir(cdir)):
                 if not fname.endswith(".ply"):
                     continue
-                pts = read_ply(os.path.join(cdir, fname))[:, :3]
+                path = os.path.join(cdir, fname)
+                pts = read_ply(path)[:, :3]
                 if pts.shape[0] >= num_points:
                     idx = rng.choice(pts.shape[0], num_points, replace=False)
                 else:
                     idx = rng.choice(pts.shape[0], num_points, replace=True)
                 clouds.append(pts[idx].astype(np.float32))
                 labels.append(ci)
-        return cls(np.stack(clouds), np.asarray(labels, np.int32), list(names))
+                if not load_sidecars:
+                    continue
+                stem = path[: -len(".ply")]
+                try:
+                    axes = read_axes_txt(stem + ".txt")
+                except (OSError, ValueError):
+                    axes = np.eye(3, dtype=np.float32)[[0, 1, 2]] * np.asarray(
+                        [[-1], [1], [-1]], np.float32
+                    )
+                tg["axes"].append(axes)
+                try:
+                    probs = read_8dir_txt(stem + "_8dir.txt")
+                except (OSError, ValueError):
+                    probs = np.full(8, 0.125, np.float32)
+                tg["probs_8dir"].append(probs)
+                mu, kappa = read_single_peak_vm_txt(stem + "_single_peak_vM_gt.txt")
+                tg["vm_mu"].append(mu)
+                tg["vm_kappa"].append(kappa)
+                try:
+                    params, k = read_multi_peak_vm_txt(
+                        stem + "_multi_peak_vM_gt.txt", max_k
+                    )
+                except OSError:
+                    params, k = np.zeros((max_k, 3), np.float32), 0
+                tg["mvm_mu"].append(params[:, 0])
+                tg["mvm_kappa"].append(params[:, 1])
+                tg["mvm_weight"].append(params[:, 2])
+                tg["mvm_k"].append(k)
+        targets = None
+        if load_sidecars and clouds:
+            targets = {k: np.asarray(v, dtype=np.float32) for k, v in tg.items()}
+            targets["mvm_k"] = targets["mvm_k"].astype(np.int32)
+            targets["forward"] = targets["axes"][:, 2]
+        return cls(
+            np.stack(clouds), np.asarray(labels, np.int32), list(names), targets
+        )
 
     # ---------- views ----------
 
+    def _take_targets(self, mask_or_idx) -> Optional[dict]:
+        if self.targets is None:
+            return None
+        return {k: v[mask_or_idx] for k, v in self.targets.items()}
+
     def subset(self, idx: np.ndarray) -> "OrientationDataset":
-        return OrientationDataset(self.points[idx], self.labels[idx], self.class_names)
+        return OrientationDataset(
+            self.points[idx], self.labels[idx], self.class_names,
+            self._take_targets(idx),
+        )
 
     def select_classes(self, classes: Sequence[str]) -> "OrientationDataset":
         """Restrict to the given categories, relabeling densely — the
@@ -106,7 +184,9 @@ class OrientationDataset:
         remap = {old: new for new, old in enumerate(keep)}
         mask = np.isin(self.labels, keep)
         labels = np.asarray([remap[l] for l in self.labels[mask]], np.int32)
-        return OrientationDataset(self.points[mask], labels, list(classes))
+        return OrientationDataset(
+            self.points[mask], labels, list(classes), self._take_targets(mask)
+        )
 
     def split(
         self, seed: int = 42

@@ -47,7 +47,15 @@ def load_dataset(spec: str, num_points: int) -> OrientationDataset:
         return OrientationDataset.from_hdf5(spec[len("hdf5:") :])
     if spec.startswith("ply:"):
         return OrientationDataset.from_ply_tree(spec[len("ply:") :], num_points)
-    raise ValueError(f"unknown data spec: {spec} (use synthetic | hdf5:DIR | ply:DIR)")
+    if spec.startswith("plygt:"):
+        # pre-rotated reference tree WITH sidecar GT: stored targets are
+        # used verbatim (the trainer should run with rotation_mode='none')
+        return OrientationDataset.from_ply_tree(
+            spec[len("plygt:") :], num_points, load_sidecars=True
+        )
+    raise ValueError(
+        f"unknown data spec: {spec} (use synthetic | hdf5:DIR | ply:DIR | plygt:DIR)"
+    )
 
 
 def _decode_axes(task: str, outputs, i: int):
@@ -190,6 +198,8 @@ def main(argv=None):
         overrides["classes"] = tuple(args.classes.split(","))
     if args.debug_checks:
         overrides["debug_checks"] = True
+    if args.data.startswith("plygt:"):
+        overrides["rotation_mode"] = "none"
     cfg = preset(args.preset, **overrides)
 
     mesh = None

@@ -220,6 +220,11 @@ class Trainer:
                 "symm": jnp.asarray(ds.symm_mask),
                 "k_spec": jnp.asarray(ds.k_spec),
             }
+            if ds.targets is not None:
+                # stored sidecar GT (pre-rotated reference dataset); only
+                # meaningful with rotation_mode='none'
+                for k, v in ds.targets.items():
+                    resident[f"tgt_{k}"] = jnp.asarray(v)
             if self.mesh is not None:
                 resident = replicate(resident, self.mesh)
             self._resident_cache[cache_key] = resident
@@ -253,6 +258,11 @@ class Trainer:
                 jnp.take(resident["k_spec"], idx),
             )
             batch["labels"] = jnp.take(resident["labels"], idx)
+            # stored sidecar GT overrides synthesized targets (pre-rotated
+            # reference datasets trained with rotation_mode='none')
+            for k in resident:
+                if k.startswith("tgt_"):
+                    batch[k[len("tgt_") :]] = jnp.take(resident[k], idx, axis=0)
             return constrain(batch)
 
         def forward(params, batch_stats, batch, rng, train: bool):
@@ -353,6 +363,9 @@ class Trainer:
             jnp.asarray(k_spec),
         )
         batch["labels"] = jnp.asarray(labels)
+        if ds.targets is not None:
+            for k, v in ds.targets.items():
+                batch[k] = jnp.asarray(v[idx])
         valid = jnp.asarray(valid)
         if self.mesh is not None:
             sharding = batch_sharding(self.mesh)
