@@ -39,6 +39,7 @@ class TrainConfig:
     batch_size: int = 16
     epochs: int = 200
     lr: float = 1e-3
+    optimizer: str = "adam"  # "adam" (reference) | "sgd"
     seed: int = 42
     grad_clip: Optional[float] = None
     lambda_orth: float = 0.1

@@ -80,7 +80,12 @@ class Trainer:
         tx_parts = []
         if config.grad_clip is not None:
             tx_parts.append(optax.clip_by_global_norm(config.grad_clip))
-        tx_parts.append(optax.adam(config.lr))
+        if config.optimizer == "adam":
+            tx_parts.append(optax.adam(config.lr))
+        elif config.optimizer == "sgd":
+            tx_parts.append(optax.sgd(config.lr))
+        else:
+            raise ValueError(f"unknown optimizer: {config.optimizer}")
         self.tx = optax.chain(*tx_parts)
 
         self.num_points = num_points
@@ -475,11 +480,16 @@ class Trainer:
         epochs: Optional[int] = None,
         log_every: int = 1,
         checkpoint_dir: Optional[str] = None,
+        start_epoch: int = 1,
     ) -> Dict[str, List[float]]:
+        """Run the train/val protocol from ``start_epoch`` to ``epochs``
+        (inclusive). Resuming with ``start_epoch = k`` after
+        ``restore_checkpoint`` reproduces an uninterrupted run exactly: the
+        per-epoch PRNG streams are keyed by the absolute epoch number."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         t_start = time.time()
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             t_ep = time.time()
             tr = self._run_phase(self.train_ds, train=True, epoch=epoch)
             va = self._run_phase(self.val_ds, train=False, epoch=epoch)
@@ -590,8 +600,18 @@ class Trainer:
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
 
+        # restore against a template so optax NamedTuple states keep their
+        # structure (a bare restore yields nested dicts)
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                np.asarray, self.state.batch_stats
+            ),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
+            "step": np.asarray(self.state.step),
+        }
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckpt = ckptr.restore(os.path.abspath(path))
+            ckpt = ckptr.restore(os.path.abspath(path), item=template)
         self.state = self.state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
             batch_stats=jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]),
