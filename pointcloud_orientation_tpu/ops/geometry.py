@@ -112,6 +112,10 @@ def ball_query(
     Returns ``(B, S, nsample)`` int32.
     """
     B, N, _ = xyz.shape
+    if _pallas_eligible(N):
+        from .pallas_kernels import ball_query_pallas
+
+        return ball_query_pallas(radius, nsample, xyz, new_xyz)
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     arange = jax.lax.broadcasted_iota(jnp.int32, sqrdists.shape, 2)
     group_idx = jnp.where(sqrdists > radius**2, N, arange)

@@ -151,6 +151,83 @@ def _knn_kernel(new_xyz_ref, xyz_ref, out_ref, dist_ref):
     jax.lax.fori_loop(0, K, body, 0)
 
 
+def _ball_kernel(new_xyz_ref, xyz_ref, out_ref, dist_ref, radius_sq: float):
+    """Radius ball query, one batch element per grid cell.
+
+    Same layout as the kNN kernel; selection picks the ``nsample``
+    within-radius points with the *smallest index* (pad with the first),
+    matching `PointNet++Demo.py:49-70`.
+    """
+    S, N = dist_ref.shape
+    K = out_ref.shape[1]
+    CH = 2048
+    for start in range(0, N, CH):
+        size = min(CH, N - start)
+        xs = xyz_ref[:, start : start + size]
+        d = jnp.zeros((S, size), jnp.float32)
+        for c in range(3):
+            diff = new_xyz_ref[:, c][:, None] - xs[c, :][None, :]
+            d = d + diff * diff
+        dist_ref[:, start : start + size] = d
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+    # candidate index value: own index if within radius else sentinel N
+    # (kept in the scratch as float to reuse the distance buffer)
+    cand = jnp.where(dist_ref[:, :] <= radius_sq, col_ids, N)
+    dist_ref[:, :] = cand.astype(jnp.float32)
+
+    def body(j, _):
+        cand_f = dist_ref[:, :]
+        idx = jnp.min(cand_f, axis=1).astype(jnp.int32)  # smallest index
+        out_ref[:, :] = jnp.where(out_cols == j, idx[:, None], out_ref[:, :])
+        taken = col_ids == idx[:, None]
+        dist_ref[:, :] = jnp.where(taken, float(N), cand_f)
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
+    # pad-with-first semantics + clamp the all-empty case into range
+    first = out_ref[:, 0][:, None]
+    filled = jnp.where(out_ref[:, :] >= N, first, out_ref[:, :])
+    out_ref[:, :] = jnp.clip(filled, 0, N - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "radius", "interpret"))
+def ball_query_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Radius ball query; semantics of :func:`..ops.geometry.ball_query`.
+
+    Returns ``(B, S, nsample)`` int32.
+    """
+    B, S, _ = new_xyz.shape
+    N = xyz.shape[1]
+    if interpret is None:
+        interpret = _use_interpret()
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+
+    kernel = functools.partial(_ball_kernel, radius_sq=float(radius) ** 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, S, nsample), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t)
+
+
 @functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
 def knn_pallas(
     new_xyz: jax.Array,

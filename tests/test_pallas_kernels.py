@@ -52,6 +52,28 @@ def test_knn_pallas_matches_jnp(rng):
             assert np.all(np.diff(dists) >= -1e-6)
 
 
+def test_ball_query_pallas_matches_jnp(rng):
+    from pointcloud_orientation_tpu.ops import ball_query
+    from pointcloud_orientation_tpu.ops.pallas_kernels import ball_query_pallas
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(2, 128, 3)).astype(np.float32))
+    new_xyz = xyz[:, :16]
+    ref = np.asarray(ball_query(0.5, 8, xyz, new_xyz))
+    got = np.asarray(ball_query_pallas(0.5, 8, xyz, new_xyz, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ball_query_pallas_empty_radius(rng):
+    from pointcloud_orientation_tpu.ops import ball_query
+    from pointcloud_orientation_tpu.ops.pallas_kernels import ball_query_pallas
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(1, 64, 3)).astype(np.float32))
+    new_xyz = jnp.asarray([[[50.0, 50.0, 50.0]]])  # no point within radius
+    ref = np.asarray(ball_query(0.1, 4, xyz, new_xyz))
+    got = np.asarray(ball_query_pallas(0.1, 4, xyz, new_xyz, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_dispatch_mode_switch(rng):
     """'always' routes through the kernels even on CPU (interpret)."""
     xyz = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
