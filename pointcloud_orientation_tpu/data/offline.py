@@ -184,6 +184,39 @@ def generate_mvm_gt(
     return count
 
 
+def txt_to_ply(txt_path: str, ply_path: str) -> int:
+    """Convert one comma-separated ``x,y,z[,nx,ny,nz]`` text file to ASCII
+    PLY (normals auto-detected and dropped — the downstream consumers use
+    xyz only). Parity: `data_process/DataProcess.py:8-36` /
+    `convert_txt_to_ply.py:6-45`. Returns the vertex count."""
+    pts = np.loadtxt(txt_path, delimiter=",", dtype=np.float32)
+    if pts.ndim == 1:
+        pts = pts[None, :]
+    write_ply(pts[:, :3], ply_path)
+    return int(pts.shape[0])
+
+
+def txt_to_ply_tree(input_dir: str, output_dir: str) -> int:
+    """Convert a ``<class>/<file>.txt`` tree of comma-separated clouds to the
+    PLY tree layout. Parity: `data_process/convert_txt_to_ply.py`."""
+    count = 0
+    for cls in sorted(os.listdir(input_dir)):
+        cdir = os.path.join(input_dir, cls)
+        if not os.path.isdir(cdir):
+            continue
+        out_cdir = os.path.join(output_dir, cls)
+        os.makedirs(out_cdir, exist_ok=True)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.endswith(".txt"):
+                continue
+            txt_to_ply(
+                os.path.join(cdir, fname),
+                os.path.join(out_cdir, fname[: -len(".txt")] + ".ply"),
+            )
+            count += 1
+    return count
+
+
 def hdf5_to_ply_tree(dataset_dir: str, output_dir: str) -> int:
     """Explode a ModelNet40 HDF5 archive into the per-category ASCII PLY
     tree (`data_process/hdf5_process.py`). Interchange only — training

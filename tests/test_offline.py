@@ -75,6 +75,22 @@ def test_rotate_tree_and_gt_generation(canonical_tree, tmp_path):
     assert len(ds) == 6
 
 
+def test_txt_to_ply_tree(tmp_path, rng):
+    src = tmp_path / "txt"
+    for cls in ["chair"]:
+        d = src / cls
+        d.mkdir(parents=True)
+        pts = rng.normal(size=(30, 6)).astype(np.float32)  # xyz + normals
+        np.savetxt(d / "chair_0.txt", pts, delimiter=",", fmt="%.6f")
+    out = tmp_path / "ply"
+    n = offline.txt_to_ply_tree(str(src), str(out))
+    assert n == 1
+    from pointcloud_orientation_tpu.data import read_ply
+
+    back = read_ply(out / "chair" / "chair_0.ply")
+    assert back.shape == (30, 3)
+
+
 def test_mu_consistency_between_sidecar_and_ondevice(canonical_tree, tmp_path):
     """The offline single-peak mu must match the on-device synthesis for the
     same forward vector."""
