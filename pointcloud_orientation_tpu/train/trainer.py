@@ -559,6 +559,24 @@ class Trainer:
 
     def write_artifacts(self, out_dir: str, test_acc: Optional[MetricsAccumulator] = None):
         os.makedirs(out_dir, exist_ok=True)
+        import json
+
+        payload = {
+            "config": dataclasses.asdict(self.cfg),
+            "history": self.history,
+            "class_history": self.class_history,
+            "best_val": self.best_val,
+            "best_val_epoch": self.best_val_epoch,
+            "timings": self.timings,
+        }
+        if test_acc is not None:
+            payload["test"] = {
+                "loss": test_acc.mean_loss,
+                "mean_angular_error_deg": test_acc.mean_angular_error,
+                "per_class": test_acc.per_class_mean(),
+            }
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(payload, f, indent=2, default=float)
         plot_loss_curves(
             self.history["train"],
             self.history["val"],

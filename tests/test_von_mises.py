@@ -126,6 +126,29 @@ def test_matched_mvm_loss_vs_numpy(rng):
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
 
 
+def test_matched_mvm_loss_weight_collapse_quirk():
+    """The reference objective has a degenerate minimum: driving the matched
+    mixture weights toward 0 sends the loss to ~0 regardless of the fit
+    (``sum(w * cost) / (sum(w) + 1e-8)``, `train_multi_peaks_vonMises_KL.py:
+    77-80`). Its own published results show the signature (all K<=1
+    categories report exactly 0.0, `results/multi_peak_vonMises_KL/
+    results.txt`). We reproduce the objective faithfully, quirk included —
+    this test pins the behavior."""
+    B, K = 2, 4
+    mu_p = jnp.zeros((B, K))
+    kappa_p = jnp.ones((B, K))  # badly mismatched vs gt kappa=8
+    w_tiny = jnp.full((B, K), 1e-15)
+    mu_g = jnp.full((B, K), 1.0)
+    kappa_g = jnp.full((B, K), 8.0)
+    ks = jnp.asarray([1, 1])
+    per = matched_mvm_loss(mu_p, kappa_p, w_tiny, mu_g, kappa_g, ks)
+    assert float(jnp.max(per)) < 1e-3  # collapsed weights => ~0 loss
+    # sane weights expose the real (large) KL
+    w_norm = jnp.full((B, K), 0.25)
+    per2 = matched_mvm_loss(mu_p, kappa_p, w_norm, mu_g, kappa_g, ks)
+    assert float(jnp.min(per2)) > 1.0
+
+
 # ---------- 8-direction projection ----------
 
 
