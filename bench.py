@@ -87,23 +87,29 @@ def main():
     jax.block_until_ready(loss)
     jax.block_until_ready(eval_step(params, batch_stats, rng, x))
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, jax.random.fold_in(rng, i), x, target
-        )
-    jax.block_until_ready(loss)
-    t_train = time.perf_counter() - t0
+    def measure_round():
+        nonlocal params, batch_stats, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(STEPS):
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, jax.random.fold_in(rng, i), x, target
+            )
+        jax.block_until_ready(loss)
+        t_train = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = None
-    for i in range(STEPS):
-        out = eval_step(params, batch_stats, jax.random.fold_in(rng, 10_000 + i), x)
-    jax.block_until_ready(out)
-    t_eval = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for i in range(STEPS):
+            out = eval_step(
+                params, batch_stats, jax.random.fold_in(rng, 10_000 + i), x
+            )
+        jax.block_until_ready(out)
+        t_eval = time.perf_counter() - t0
+        return BATCH * STEPS * 2 / (t_train + t_eval)
 
-    clouds = BATCH * STEPS * 2
-    value = clouds / (t_train + t_eval)
+    # median of 3 rounds — throughput through the device tunnel is noisy
+    value = sorted(measure_round() for _ in range(3))[1]
     baseline = _baseline_clouds_per_sec()
     print(
         json.dumps(
