@@ -123,11 +123,107 @@ def import_pointnet_pp_state_dict(
     return params, stats
 
 
+def _convert_block(
+    params: Dict, stats: Dict, base: Tuple[str, ...], kind: str, idx: int,
+    leaf: str, arr: np.ndarray
+):
+    """Map one torch layer entry under ``base``.
+
+    kind='conv': Conv1d (out,in,1) -> Dense kernel (in,out);
+    kind='fc':   Linear (out,in)   -> Dense kernel (in,out);
+    kind='bn':   BatchNorm params + running stats.
+    """
+    if kind in ("conv", "fc"):
+        if leaf == "weight":
+            w = arr[:, :, 0].T if arr.ndim == 3 else arr.T
+            _set(params, base + (f"Dense_{idx}", "kernel"), w)
+        else:
+            _set(params, base + (f"Dense_{idx}", "bias"), arr)
+    elif kind == "bn":
+        name = f"BatchNorm_{idx}"
+        if leaf == "weight":
+            _set(params, base + (name, "scale"), arr)
+        elif leaf == "bias":
+            _set(params, base + (name, "bias"), arr)
+        elif leaf == "running_mean":
+            _set(stats, base + (name, "mean"), arr)
+        elif leaf == "running_var":
+            _set(stats, base + (name, "var"), arr)
+
+
+# torch layer name -> (kind, flax index) for the STN/encoder/head blocks.
+_STN_MAP = {
+    "conv1": ("conv", 0), "conv2": ("conv", 1), "conv3": ("conv", 2),
+    "bn1": ("bn", 0), "bn2": ("bn", 1), "bn3": ("bn", 2),
+    "fc1": ("fc", 3), "fc2": ("fc", 4), "fc3": ("fc", 5),
+    "bn4": ("bn", 3), "bn5": ("bn", 4),
+}
+_ENCODER_MAP = {
+    "conv1": ("conv", 0), "conv2": ("conv", 1), "conv3": ("conv", 2),
+    "bn1": ("bn", 0), "bn2": ("bn", 1), "bn3": ("bn", 2),
+}
+_PN_HEAD_MAP = {
+    "fc1": ("fc", 0), "fc2": ("fc", 1), "fc3": ("fc", 2),
+    "bn1": ("bn", 0), "bn2": ("bn", 1),
+}
+_SIMPLE_MAP = {
+    "conv1": ("conv", 0), "conv2": ("conv", 1), "conv3": ("conv", 2),
+    "bn1": ("bn", 0), "bn2": ("bn", 1), "bn3": ("bn", 2),
+    "fc1": ("fc", 3), "bn4": ("bn", 3), "fc2": ("fc", 4),
+}
+
+
+def import_pointnet_state_dict(
+    state_dict: Mapping[str, Any], model: str = "pointnet"
+) -> Tuple[Dict, Dict]:
+    """Convert a reference PointNet-family ``state_dict``:
+
+    * ``'pointnet'`` — ``PointNet`` (`models/pointnet.py:111-129`, encoder
+      attr ``encoder``);
+    * ``'pointnet_cls'`` — ``get_model`` (`PointNetDemo.py:139-161`, encoder
+      attr ``feat``);
+    * ``'simple_pointnet'`` — `simple_pointnet_train.py:86-113`.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    enc_attr = {"pointnet": "encoder", "pointnet_cls": "feat"}.get(model)
+
+    for name, tensor in state_dict.items():
+        arr = _to_np(tensor)
+        parts = name.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        if model == "simple_pointnet":
+            kind, idx = _SIMPLE_MAP[parts[0]]
+            _convert_block(params, stats, (), kind, idx, parts[1], arr)
+            continue
+        if parts[0] == enc_attr:
+            enc = ("PointNetEncoder_0",)
+            if parts[1] == "stn":
+                kind, idx = _STN_MAP[parts[2]]
+                _convert_block(params, stats, enc + ("STN3d_0",), kind, idx, parts[3], arr)
+            elif parts[1] == "fstn":
+                kind, idx = _STN_MAP[parts[2]]
+                _convert_block(params, stats, enc + ("STNkd_0",), kind, idx, parts[3], arr)
+            else:
+                kind, idx = _ENCODER_MAP[parts[1]]
+                _convert_block(params, stats, enc, kind, idx, parts[2], arr)
+            continue
+        kind, idx = _PN_HEAD_MAP[parts[0]]
+        _convert_block(params, stats, (), kind, idx, parts[1], arr)
+    return params, stats
+
+
+_PP_MODELS = frozenset(_HEADS)
+
+
 def load_torch_checkpoint(
     path: str, model: str = "pointnet_pp_8dir"
 ) -> Tuple[Dict, Dict]:
-    """Load a ``.pth`` state_dict file and convert it."""
+    """Load a ``.pth`` state_dict file and convert it (any supported model)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return import_pointnet_pp_state_dict(sd, model)
+    if model in _PP_MODELS:
+        return import_pointnet_pp_state_dict(sd, model)
+    return import_pointnet_state_dict(sd, model)

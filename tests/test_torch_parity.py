@@ -33,11 +33,20 @@ if REF not in sys.path:
 from pointcloud_orientation_tpu.models import (  # noqa: E402
     PointNetPP,
     PointNetPP8Dir,
+    PointNetPPFwd,
     PointNetPPMvM,
     PointNetPPVonMises,
+    PointNetPPXYZ,
     PointNetPPXYZSchmidt,
 )
-from pointcloud_orientation_tpu.utils import import_pointnet_pp_state_dict  # noqa: E402
+from pointcloud_orientation_tpu.models import (  # noqa: E402
+    PointNet,
+    SimplePointNet,
+)
+from pointcloud_orientation_tpu.utils import (  # noqa: E402
+    import_pointnet_pp_state_dict,
+    import_pointnet_state_dict,
+)
 
 B, N = 3, 256
 
@@ -111,6 +120,67 @@ def test_xyz_schmidt_parity(cloud):
     v2_j, v3_j = _ours(PointNetPPXYZSchmidt, "pointnet_pp_xyz_schmidt", tm, cloud)
     np.testing.assert_allclose(np.asarray(v2_j), v2_t.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(v3_j), v3_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_xyz_parity(cloud):
+    from models.Pointnet_pp_xyz import PointNetPPXYZ as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        v1_t, v2_t = tm(torch.from_numpy(cloud))
+    v1_j, v2_j = _ours(PointNetPPXYZ, "pointnet_pp_xyz", tm, cloud)
+    np.testing.assert_allclose(np.asarray(v1_j), v1_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2_j), v2_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_fwd_parity(cloud):
+    from models.pointnet_pp_Fwd import PointNetPPFwd as TorchModel
+
+    tm = _randomize(TorchModel())
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    got = np.asarray(_ours(PointNetPPFwd, "pointnet_pp_fwd", tm, cloud))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_pointnet_parity(cloud):
+    from models.pointnet import PointNet as TorchModel
+
+    tm = _randomize(TorchModel(feature_transform=True))
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    params, stats = import_pointnet_state_dict(tm.state_dict(), "pointnet")
+    got = np.asarray(
+        PointNet(feature_transform=True).apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(cloud),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4)
+
+
+def test_simple_pointnet_parity(cloud, tmp_path):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_simple", os.path.join(REF, "simple_pointnet_train.py")
+    )
+    # the reference script runs main() at import only under __main__; safe
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tm = _randomize(mod.SimplePointNet())
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    params, stats = import_pointnet_state_dict(tm.state_dict(), "simple_pointnet")
+    got = np.asarray(
+        SimplePointNet().apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(cloud),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4)
 
 
 def test_mvm_parity(cloud):
