@@ -219,17 +219,61 @@ def txt_to_ply_tree(input_dir: str, output_dir: str) -> int:
 
 def hdf5_to_ply_tree(dataset_dir: str, output_dir: str) -> int:
     """Explode a ModelNet40 HDF5 archive into the per-category ASCII PLY
-    tree (`data_process/hdf5_process.py`). Interchange only — training
-    consumes the packed arrays directly."""
-    from .hdf5 import load_modelnet_hdf5
+    tree (`data_process/hdf5_process.py`). Honors the optional
+    ``*_id2file.json`` name mappings next to each ``.h5`` when present
+    (`hdf5_process.py:64-101,136-151`); otherwise names are
+    ``<class>_<idx>.ply``. Interchange only — training consumes the packed
+    arrays directly."""
+    import json
+    import re
 
-    pts, labels, names = load_modelnet_hdf5(dataset_dir)
-    counters = {i: 0 for i in range(len(names))}
-    for cloud, label in zip(pts, labels):
-        cls = names[int(label)]
-        out_dir = os.path.join(output_dir, cls)
-        os.makedirs(out_dir, exist_ok=True)
-        idx = counters[int(label)]
-        counters[int(label)] += 1
-        write_ply(cloud, os.path.join(out_dir, f"{cls}_{idx:04d}.ply"))
-    return int(sum(counters.values()))
+    import h5py
+
+    names_file = os.path.join(dataset_dir, "shape_names.txt")
+    with open(names_file, "r") as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+
+    counters: Dict[int, int] = {i: 0 for i in range(len(names))}
+    total = 0
+    for fname in sorted(f for f in os.listdir(dataset_dir) if f.endswith(".h5")):
+        base = os.path.splitext(fname)[0]
+        id2file = None
+        m = re.match(r"(.*?)(\d+)$", base)
+        candidates = [f"{base}_id2file.json"]
+        if m:
+            candidates.insert(0, f"{m.group(1)}_{m.group(2)}_id2file.json")
+        for cand in candidates:
+            path = os.path.join(dataset_dir, cand)
+            if os.path.exists(path):
+                try:
+                    with open(path) as jf:
+                        id2file = json.load(jf)
+                except (OSError, ValueError):
+                    id2file = None
+                break
+        with h5py.File(os.path.join(dataset_dir, fname), "r") as f:
+            data = f["data"][:]
+            labels = f["label"][:]
+        if labels.ndim > 1:
+            labels = labels[:, 0]
+        for i, (cloud, label) in enumerate(zip(data, labels)):
+            label = int(label)
+            cls = names[label]
+            out_dir = os.path.join(output_dir, cls)
+            os.makedirs(out_dir, exist_ok=True)
+            mapped = None
+            if isinstance(id2file, dict):
+                mapped = id2file.get(str(i))
+            elif isinstance(id2file, list) and i < len(id2file):
+                mapped = id2file[i]
+            if mapped:
+                out_name = os.path.basename(mapped)
+                if not out_name.endswith(".ply"):
+                    out_name += ".ply"
+            else:
+                out_name = f"{cls}_{counters[label]:04d}.ply"
+            counters[label] += 1
+            write_ply(np.asarray(cloud[:, :3], np.float32),
+                      os.path.join(out_dir, out_name))
+            total += 1
+    return total
