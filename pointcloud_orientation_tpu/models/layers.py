@@ -36,20 +36,22 @@ class SharedMLP(nn.Module):
     channels: Sequence[int]
     norm: str = "batch"  # "batch" | "layer" | "none"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype (e.g. bfloat16)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for ch in self.channels:
-            x = nn.Dense(ch)(x)
+            x = nn.Dense(ch, dtype=self.dtype)(x)
             if self.norm == "batch":
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
                     axis_name=self.bn_axis_name,
+                    dtype=self.dtype,
                 )(x)
             elif self.norm == "layer":
-                x = nn.LayerNorm()(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -81,6 +83,7 @@ class SetAbstraction(nn.Module):
     grouping: str = "knn"
     radius: float = 0.2
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -111,9 +114,9 @@ class SetAbstraction(nn.Module):
                 grouping=self.grouping,
                 radius=self.radius,
             )
-        feats = SharedMLP(self.mlp_channels, bn_axis_name=self.bn_axis_name)(
-            grouped, train=train
-        )
+        feats = SharedMLP(
+            self.mlp_channels, bn_axis_name=self.bn_axis_name, dtype=self.dtype
+        )(grouped, train=train)
         pooled = jnp.max(feats, axis=2)  # (B, S, C_out)
         return new_xyz, pooled
 
@@ -135,6 +138,9 @@ class PointNetPPTrunk(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None  # trunk computation dtype; the
+    # geometry (distances, neighbor selection) always runs f32 and the
+    # 256-d output feature is cast back to f32 for the heads
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
@@ -142,6 +148,7 @@ class PointNetPPTrunk(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )
         l1_xyz, l1_pts = SetAbstraction(128, 32, (64, 64, 128), **sa_kwargs)(
             xyz, None, train=train
@@ -161,12 +168,13 @@ class PointNetPPTrunk(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     axis_name=self.bn_axis_name,
+                    dtype=self.dtype,
                 )
-            return nn.LayerNorm()
+            return nn.LayerNorm(dtype=self.dtype)
 
-        x = nn.relu(_norm()(nn.Dense(512)(x)))
+        x = nn.relu(_norm()(nn.Dense(512, dtype=self.dtype)(x)))
         if self.drop_each_fc:
             x = nn.Dropout(self.p_drop)(x, deterministic=not train)
-        x = nn.relu(_norm()(nn.Dense(256)(x)))
+        x = nn.relu(_norm()(nn.Dense(256, dtype=self.dtype)(x)))
         x = nn.Dropout(self.p_drop)(x, deterministic=not train)
-        return x
+        return x.astype(jnp.float32)

@@ -38,6 +38,7 @@ class PointNetPP(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
@@ -45,6 +46,7 @@ class PointNetPP(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         return nn.Dense(3)(feat)
 
@@ -58,6 +60,7 @@ class PointNetPPXYZ(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -67,6 +70,7 @@ class PointNetPPXYZ(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         v1 = _l2_normalize(nn.Dense(3, name="head_x")(feat))
         v2 = _l2_normalize(nn.Dense(3, name="head_y")(feat))
@@ -88,6 +92,7 @@ class PointNetPPXYZSchmidt(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -97,6 +102,7 @@ class PointNetPPXYZSchmidt(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         v2 = _l2_normalize(nn.Dense(3, name="head_y")(feat))  # up
         v3 = _l2_normalize(nn.Dense(3, name="head_z")(feat))  # forward
@@ -116,6 +122,7 @@ class PointNetPP8Dir(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
@@ -123,6 +130,7 @@ class PointNetPP8Dir(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         return nn.Dense(8)(feat)
 
@@ -136,6 +144,7 @@ class PointNetPPFwd(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
@@ -143,6 +152,7 @@ class PointNetPPFwd(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         return _l2_normalize(nn.Dense(3)(feat))
 
@@ -156,6 +166,7 @@ class PointNetPPVonMises(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -165,6 +176,7 @@ class PointNetPPVonMises(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
         out = nn.Dense(2)(feat)
         mu = jnp.tanh(out[:, 0]) * math.pi
@@ -194,6 +206,7 @@ class PointNetPPMvM(nn.Module):
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -206,6 +219,7 @@ class PointNetPPMvM(nn.Module):
             sampling=self.sampling,
             grouping=self.grouping,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
         )(xyz, train=train)
 
         zeros = nn.initializers.zeros

@@ -40,6 +40,8 @@ class TrainConfig:
     epochs: int = 200
     lr: float = 1e-3
     optimizer: str = "adam"  # "adam" (reference) | "sgd"
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" trunk compute
+    # (params/optimizer/heads/geometry stay f32; see PointNetPPTrunk.dtype)
     seed: int = 42
     grad_clip: Optional[float] = None
     lambda_orth: float = 0.1
