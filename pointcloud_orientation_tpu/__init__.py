@@ -27,3 +27,30 @@ utils     PyTorch state_dict import, profiling, debug/nan-check helpers.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """TPU compiles in this environment go through a remote helper and cost
+    minutes per program; the persistent cache turns every repeat into ~1s.
+    Opt out with ``PCOT_JAX_CACHE=0``; default dir
+    ``~/.cache/pointcloud_orientation_tpu/jax`` (override via the same var).
+    """
+    import os
+
+    spec = os.environ.get("PCOT_JAX_CACHE", "")
+    if spec == "0":
+        return
+    import jax
+
+    path = spec or os.path.expanduser("~/.cache/pointcloud_orientation_tpu/jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # the remote-compile backend under-reports compile time; cache all
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+
+_enable_persistent_compilation_cache()
