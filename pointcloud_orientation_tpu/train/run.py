@@ -38,10 +38,12 @@ from .metrics import write_mvm_results_txt, write_summary_txt
 from .trainer import Trainer
 
 
-def load_dataset(spec: str, num_points: int) -> OrientationDataset:
+def load_dataset(spec: str, num_points: int, classes=None) -> OrientationDataset:
     if spec == "synthetic":
         return OrientationDataset.synthetic(
-            samples_per_class=64, num_points=max(num_points, 512)
+            samples_per_class=64,
+            num_points=max(num_points, 512),
+            class_names=list(classes) if classes else None,
         )
     if spec.startswith("hdf5:"):
         return OrientationDataset.from_hdf5(spec[len("hdf5:") :])
@@ -207,7 +209,7 @@ def main(argv=None):
         axis, _, size = args.mesh.partition(":")
         mesh = make_mesh((axis,), (int(size),) if size else None)
 
-    dataset = load_dataset(args.data, cfg.num_points)
+    dataset = load_dataset(args.data, cfg.num_points, classes=cfg.classes)
     out_dir = args.out or os.path.join(cfg.out_dir, args.preset)
 
     t0 = time.time()
