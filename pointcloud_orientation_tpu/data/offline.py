@@ -30,7 +30,7 @@ from ..ops import (
     random_so3_matrix,
     random_yaw_matrix,
 )
-from .gt import CLEAR_CLASSES, K_DICT, KAPPA_DEFAULT, SYMM_CLASSES, UNIFORM_CLASSES
+from .gt import K_DICT, KAPPA_DEFAULT, SYMM_CLASSES, UNIFORM_CLASSES
 from .ply import read_ply, write_ply
 from .sidecar import (
     read_axes_txt,

@@ -11,7 +11,7 @@ dataloaders (SURVEY.md §3.1 hot loop).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ tensors; the T-Net transforms are batched matmuls on the MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

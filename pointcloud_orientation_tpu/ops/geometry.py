@@ -17,7 +17,6 @@ control flow.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -12,8 +12,6 @@ step instead of a frozen dataset.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

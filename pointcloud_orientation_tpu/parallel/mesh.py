@@ -15,7 +15,7 @@ CPU mesh used by the tests.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -24,7 +24,6 @@ Per-label training over every category (the `train.py` protocol):
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 from typing import Optional

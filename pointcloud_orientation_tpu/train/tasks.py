@@ -10,7 +10,6 @@ undefined (e.g. symmetric categories for vM).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Callable, Dict, Optional
 
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 import os
 from glob import glob
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
