@@ -1,0 +1,147 @@
+"""Batched serving API: pre-compiled fixed-shape inference with padding.
+
+The reference has no inference path beyond ad-hoc loops in its training
+scripts (`train.py:228-246`). This module provides the production surface:
+load weights (ours or a reference ``.pth``), compile once per (batch,
+points) bucket, and serve arbitrary-size requests by padding to the bucket —
+no recompiles, no host-side per-sample work.
+
+Example
+-------
+    from pointcloud_orientation_tpu.infer import OrientationPredictor
+
+    predictor = OrientationPredictor.from_torch_checkpoint(
+        "8dir_KLdiv_0926.pth", model="pointnet_pp_8dir")
+    out = predictor(clouds)               # (B, N, 3) numpy -> logits (B, 8)
+    fwd = predictor.forward_vectors(clouds)  # decoded unit forward vectors
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import MODEL_REGISTRY
+from .ops import DIRS_8
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+class OrientationPredictor:
+    """Fixed-shape, jit-compiled predictor over any framework model.
+
+    Requests are padded up to the next batch bucket (powers of two by
+    default) so each bucket compiles exactly once; point count is padded by
+    repeating points (harmless for sampling/grouping semantics).
+    """
+
+    def __init__(
+        self,
+        model_name: str,
+        params: Dict,
+        batch_stats: Optional[Dict] = None,
+        num_points: int = 1024,
+        max_batch: int = 256,
+        seed: int = 0,
+        **model_kwargs: Any,
+    ):
+        self.model = MODEL_REGISTRY[model_name](**model_kwargs)
+        self.model_name = model_name
+        self.num_points = num_points
+        self.max_batch = max_batch
+        self.variables = {"params": params}
+        if batch_stats:
+            self.variables["batch_stats"] = batch_stats
+        self._rng = jax.random.PRNGKey(seed)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _apply(variables, pts, rng):
+            return self.model.apply(
+                variables, pts, train=False, rngs={"sampling": rng}
+            )
+
+        self._apply = _apply
+
+    # ---------- constructors ----------
+
+    @classmethod
+    def from_torch_checkpoint(
+        cls, path: str, model: str = "pointnet_pp_8dir", **kw
+    ) -> "OrientationPredictor":
+        from .utils import load_torch_checkpoint
+
+        params, stats = load_torch_checkpoint(path, model)
+        return cls(model, params, stats, **kw)
+
+    @classmethod
+    def from_orbax_checkpoint(
+        cls, path: str, model: str, **kw
+    ) -> "OrientationPredictor":
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckpt = ckptr.restore(path)
+        return cls(model, ckpt["params"], ckpt.get("batch_stats"), **kw)
+
+    # ---------- serving ----------
+
+    def _bucket(self, b: int) -> int:
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
+        return min(bucket, self.max_batch)
+
+    def __call__(self, clouds: np.ndarray):
+        """Run the model on ``(B, N, 3)`` clouds (any B <= max_batch, any N);
+        returns the model's native outputs for the original B."""
+        clouds = np.asarray(clouds, np.float32)
+        b, n = clouds.shape[0], clouds.shape[1]
+        if b > self.max_batch:
+            chunks = [
+                self(clouds[i : i + self.max_batch])
+                for i in range(0, b, self.max_batch)
+            ]
+            return jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *chunks
+            )
+        # pad points by cycling, batch by repeating the first cloud
+        if n < self.num_points:
+            reps = -(-self.num_points // n)
+            clouds = np.tile(clouds, (1, reps, 1))[:, : self.num_points]
+        elif n > self.num_points:
+            clouds = clouds[:, : self.num_points]
+        bucket = self._bucket(b)
+        if b < bucket:
+            pad = np.repeat(clouds[:1], bucket - b, axis=0)
+            clouds = np.concatenate([clouds, pad], axis=0)
+        self._rng, sub = jax.random.split(self._rng)
+        out = self._apply(self.variables, jnp.asarray(clouds), sub)
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[:b], out)
+
+    def forward_vectors(self, clouds: np.ndarray) -> np.ndarray:
+        """Decode the model's output to unit forward vectors ``(B, 3)``."""
+        out = self(clouds)
+        name = self.model_name
+        if name in ("pointnet_pp_8dir",):
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(out), axis=-1))
+            fwd = probs @ np.asarray(DIRS_8)
+        elif name in ("pointnet_pp_von_mises",):
+            mu = np.asarray(out[0])
+            fwd = np.stack([np.sin(mu), np.zeros_like(mu), -np.cos(mu)], -1)
+        elif name in ("pointnet_pp_mvm",):
+            mu_all, _, w = out
+            mu = np.take_along_axis(
+                np.asarray(mu_all), np.argmax(np.asarray(w), -1)[:, None], 1
+            )[:, 0]
+            fwd = np.stack([np.sin(mu), np.zeros_like(mu), -np.cos(mu)], -1)
+        elif name in ("pointnet_pp_xyz", "pointnet_pp_xyz_schmidt"):
+            fwd = np.asarray(out[-1])  # forward head
+        else:  # raw / normalized 3-vector heads
+            fwd = np.asarray(out)
+        return fwd / (np.linalg.norm(fwd, axis=-1, keepdims=True) + 1e-12)

@@ -1,0 +1,57 @@
+"""Serving API: bucketed batching, padding, decode paths."""
+
+import jax
+import numpy as np
+import pytest
+
+from pointcloud_orientation_tpu.infer import OrientationPredictor
+from pointcloud_orientation_tpu.models import PointNetPP8Dir, PointNetPPFwd
+
+
+def _make_predictor(model_name, model_cls, num_points=128, **kw):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, num_points, 3))
+    variables = model_cls().init(
+        {"params": jax.random.PRNGKey(1), "sampling": jax.random.PRNGKey(2)},
+        x, train=False,
+    )
+    return OrientationPredictor(
+        model_name,
+        variables["params"],
+        variables.get("batch_stats"),
+        num_points=num_points,
+        **kw,
+    )
+
+
+def test_predict_odd_batch_and_points(rng):
+    p = _make_predictor("pointnet_pp_8dir", PointNetPP8Dir)
+    clouds = rng.normal(size=(3, 200, 3)).astype(np.float32)  # N != num_points
+    out = p(clouds)
+    assert out.shape == (3, 8)
+    fwd = p.forward_vectors(clouds)
+    assert fwd.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(fwd, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_predict_small_points_padded(rng):
+    p = _make_predictor("pointnet_pp_8dir", PointNetPP8Dir)
+    clouds = rng.normal(size=(1, 130, 3)).astype(np.float32)  # < num_points
+    out = p(clouds)
+    assert out.shape == (1, 8)
+
+
+def test_predict_chunks_large_batch(rng):
+    p = _make_predictor("pointnet_pp_fwd", PointNetPPFwd, max_batch=4)
+    clouds = rng.normal(size=(10, 128, 3)).astype(np.float32)
+    fwd = p.forward_vectors(clouds)
+    assert fwd.shape == (10, 3)
+
+
+def test_padding_does_not_change_results(rng):
+    p = _make_predictor("pointnet_pp_fwd", PointNetPPFwd, seed=7)
+    clouds = rng.normal(size=(4, 128, 3)).astype(np.float32)
+    full = np.asarray(p(clouds))
+    p2 = _make_predictor("pointnet_pp_fwd", PointNetPPFwd, seed=7)
+    # same first cloud served in a padded bucket of 1 -> identical row 0
+    single = np.asarray(p2(clouds[:1]))
+    np.testing.assert_allclose(single[0], full[0], atol=1e-5)
