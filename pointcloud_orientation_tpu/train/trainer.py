@@ -465,11 +465,22 @@ class Trainer:
         return acc
 
     def _debug_check(self, metrics, epoch: int, batch_idx: int):
-        """Per-step finite assertions — the `_debug` harness
-        (`train_multi_peaks_vonMises_KL_debug.py:49-68,277-306`) as a flag."""
+        """Per-step finite assertions + per-sample log — the `_debug` harness
+        (`train_multi_peaks_vonMises_KL_debug.py:49-68,89-95,277-306`) as a
+        flag. Appends loss and per-sample values to ``debug_log.txt`` in
+        ``cfg.out_dir`` and raises on the first non-finite loss."""
         loss = float(metrics["loss"])
+        per = np.asarray(metrics["per_sample"])
+        try:
+            os.makedirs(self.cfg.out_dir, exist_ok=True)
+            with open(os.path.join(self.cfg.out_dir, "debug_log.txt"), "a") as f:
+                f.write(
+                    f"epoch={epoch} batch={batch_idx} loss={loss:.6f} "
+                    f"per_sample={np.array2string(per, precision=4, max_line_width=200)}\n"
+                )
+        except OSError:
+            pass
         if not np.isfinite(loss):
-            per = np.asarray(metrics["per_sample"])
             raise FloatingPointError(
                 f"non-finite loss at epoch {epoch} batch {batch_idx}: "
                 f"loss={loss}, per-sample={per}"
