@@ -121,12 +121,41 @@ def export_test_predictions(trainer, out_dir: str, max_count: int = 10):
     return written
 
 
+def _write_8dir_distribution_summary(trainer, out_dir: str, max_count: int = 128):
+    """Append the mean GT vs mean predicted 8-direction distributions over
+    the test split — the reference's per-run summary extra
+    (`train_8dir.py:92-114`)."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = trainer.test_ds
+    n = min(max_count, len(ds))
+    if n == 0:
+        return
+    pts, labels, uniform, symm, k_spec = ds.gather_host(np.arange(n))
+    eval_key = jax.random.fold_in(
+        jax.random.PRNGKey(trainer.cfg.seed * 104729 + 17), 0
+    )
+    batch = trainer.augment(
+        eval_key, jnp.asarray(pts), jnp.asarray(uniform), jnp.asarray(symm),
+        jnp.asarray(k_spec),
+    )
+    logits = trainer.predict(np.asarray(batch["points"]))
+    pred = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)).mean(0)
+    gt = np.asarray(batch["probs_8dir"]).mean(0)
+    with open(os.path.join(out_dir, "summary.txt"), "a") as f:
+        f.write("mean_gt_8dir\t" + " ".join(f"{v:.4f}" for v in gt) + "\n")
+        f.write("mean_pred_8dir\t" + " ".join(f"{v:.4f}" for v in pred) + "\n")
+
+
 def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = None):
     trainer = Trainer(cfg, dataset, mesh=mesh)
     trainer.fit(checkpoint_dir=os.path.join(out_dir, "ckpt") if cfg.checkpoint_every else None)
     test_acc = trainer.test()
     trainer.write_artifacts(out_dir, test_acc)
     export_test_predictions(trainer, os.path.join(out_dir, "pred_ply"))
+    if cfg.task in ("8dir_mse", "8dir_kl"):
+        _write_8dir_distribution_summary(trainer, out_dir)
     print(
         f"[{label or cfg.task}] test loss {test_acc.mean_loss:.6f}  "
         f"angular {test_acc.mean_angular_error:.2f} deg  "
