@@ -40,6 +40,11 @@ def _enable_persistent_compilation_cache():
     spec = os.environ.get("PCOT_JAX_CACHE", "")
     if spec == "0":
         return
+    # CPU executables are AOT-compiled against exact machine features and
+    # can SIGILL if a cache entry crosses machines; only the (remote,
+    # minutes-per-compile) TPU path benefits, so gate on it.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     import jax
 
     path = spec or os.path.expanduser("~/.cache/pointcloud_orientation_tpu/jax")

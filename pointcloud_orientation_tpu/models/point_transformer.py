@@ -57,13 +57,22 @@ class PointTransformer(nn.Module):
     depth: int = 6
     ffn_dim: int = 2048
     dropout: float = 0.1
+    remat: bool = False  # rematerialize each layer: O(depth) -> O(1)
+    # activation memory for the backward pass, enabling very large N
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = nn.Dense(self.embed_dim)(x)  # (B, N, E)
-        for _ in range(self.depth):
-            h = TransformerEncoderLayer(
-                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout
-            )(h, train=train)
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer, static_argnums=(2,))
+            if self.remat
+            else TransformerEncoderLayer
+        )
+        for i in range(self.depth):
+            # explicit names keep the param tree identical with/without remat
+            h = layer_cls(
+                self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
+                name=f"TransformerEncoderLayer_{i}",
+            )(h, train)
         h = jnp.mean(h, axis=1)  # (B, E)
         return nn.Dense(3)(h)

@@ -10,6 +10,7 @@ import os
 # Force CPU even when a TPU plugin platform is preset in the environment —
 # the suite needs the 8-device virtual mesh and hermetic numerics.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PCOT_JAX_CACHE"] = "0"  # no persistent AOT cache for CPU tests
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -170,3 +170,16 @@ def test_from_ply_tree(tmp_path, rng):
     assert len(ds) == 6
     assert ds.points.shape == (6, 64, 3)
     assert ds.class_names == ["chair", "sofa"]
+
+
+def test_subsample_with_replacement_path():
+    # M < num_points exercises the with-replacement branch
+    # (`dataloader.py:20-21` semantics)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 50, 3)).astype(np.float32))
+    out = D.subsample_points(jax.random.PRNGKey(0), pts, 128)
+    assert out.shape == (2, 128, 3)
+    # every output point exists in the source cloud
+    src = np.asarray(pts[0])
+    got = np.asarray(out[0])
+    for row in got[:10]:
+        assert np.min(np.sum((src - row) ** 2, axis=1)) < 1e-10

@@ -151,3 +151,17 @@ def test_no_sampling_rng_is_deterministic(cloud):
     a = model.apply(variables, cloud, train=False)
     b = model.apply(variables, cloud, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_point_transformer_remat_matches(cloud):
+    base = PointTransformer(depth=2, ffn_dim=64)
+    rem = PointTransformer(depth=2, ffn_dim=64, remat=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, cloud, train=False)
+    a = base.apply(variables, cloud, train=False)
+    b = rem.apply(variables, cloud, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # gradients flow through the remat layers
+    def loss(p):
+        return jnp.sum(rem.apply({"params": p}, cloud, train=False) ** 2)
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
