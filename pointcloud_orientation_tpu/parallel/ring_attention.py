@@ -1,0 +1,100 @@
+"""Ring attention: exact sequence-parallel attention with explicit
+ppermute collectives.
+
+The reference's only "long context" is the point transformer's full O(N^2)
+self-attention on one device (`models/point_transformer.py:9-12`,
+SURVEY.md §5 long-context). Sharding the point axis under plain ``jit``
+works (XLA all-gathers K/V), but materializes the full K/V on every device.
+Ring attention never does: each device keeps its Q shard resident and
+streams K/V shards around the ring (one ``ppermute`` per step, riding ICI),
+merging partial results with the streaming-softmax (log-sum-exp) update —
+memory per device stays O(N/n_devices), communication overlaps compute.
+
+Use via ``shard_map`` over a mesh axis:
+
+    mesh = make_mesh(("data", "model"), (dp, sp))
+    attn = shard_map(
+        partial(ring_attention, axis_name="model"),
+        mesh=mesh,
+        in_specs=(P("data", "model"), P("data", "model"), P("data", "model")),
+        out_specs=P("data", "model"),
+    )
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _attend_block(q, k, v, scale):
+    """Scores and un-normalized attention for one K/V block.
+
+    Returns ``(block_max (..., Sq, 1), exp_scores @ v, exp_sums)`` for the
+    streaming-softmax merge.
+    """
+    s = jnp.einsum("...qd,...kd->...qk", q, k) * scale  # (..., Sq, Sk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    o = jnp.einsum("...qk,...kd->...qd", p, v)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return m, o, l
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str = "model",
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Exact softmax attention with Q/K/V sharded over ``axis_name``.
+
+    Must run inside ``shard_map`` (or ``pmap``) with ``axis_name`` bound.
+    Shapes are the *local shards*: ``q (..., Sq, D)``, ``k/v (..., Sk, D)``;
+    the logical sequence is ``n_devices * S``. Numerics match full
+    attention to f32 rounding (streaming log-sum-exp merge).
+    """
+    n = jax.lax.psum(1, axis_name)
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    m0, o0, l0 = _attend_block(q, k, v, scale)
+
+    def body(i, carry):
+        m_acc, o_acc, l_acc, k_cur, v_cur = carry
+        # stream the K/V shards around the ring
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        m_blk, o_blk, l_blk = _attend_block(q, k_nxt, v_nxt, scale)
+        # streaming-softmax merge of the new block into the accumulators
+        m_new = jnp.maximum(m_acc, m_blk)
+        alpha = jnp.exp(m_acc - m_new)
+        beta = jnp.exp(m_blk - m_new)
+        o_new = o_acc * alpha + o_blk * beta
+        l_new = l_acc * alpha + l_blk * beta
+        return m_new, o_new, l_new, k_nxt, v_nxt
+
+    m_acc, o_acc, l_acc, _, _ = jax.lax.fori_loop(
+        0, n - 1, body, (m0, o0, l0, k, v)
+    )
+    return o_acc / l_acc
+
+
+def make_ring_attention(mesh, axis_name: str = "model", data_axis: str = "data"):
+    """Build a shard_mapped ring attention over ``mesh``:
+    ``fn(q, k, v) -> out`` with ``(B, H, N, D)`` arrays whose N axis is
+    sharded over ``axis_name`` and batch over ``data_axis``."""
+    from jax import shard_map
+
+    spec = P(data_axis, None, axis_name, None)
+    return shard_map(
+        functools.partial(ring_attention, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
