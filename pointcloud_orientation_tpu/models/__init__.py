@@ -19,6 +19,7 @@ from .pointnet_pp import (
     PointNetPPCls,
 )
 from .point_transformer import PointTransformer
+from ..parallel.sp_transformer import RingPointTransformer
 
 MODEL_REGISTRY = {
     "simple_pointnet": SimplePointNet,
@@ -33,6 +34,9 @@ MODEL_REGISTRY = {
     "pointnet_pp_mvm": PointNetPPMvM,
     "pointnet_pp_cls": PointNetPPCls,
     "point_transformer": PointTransformer,
+    # sequence-parallel ring-attention variant (plain path when no mesh
+    # axis is bound; see parallel/sp_transformer.py for the SPMD step)
+    "ring_point_transformer": RingPointTransformer,
 }
 
 __all__ = [
@@ -54,5 +58,6 @@ __all__ = [
     "PointNetPPMvM",
     "PointNetPPCls",
     "PointTransformer",
+    "RingPointTransformer",
     "MODEL_REGISTRY",
 ]
