@@ -79,37 +79,62 @@ def main():
             rngs={"sampling": rng},
         )
 
-    # warmup / compile
-    rng = jax.random.PRNGKey(7)
-    params, batch_stats, opt_state, loss = train_step(
-        params, batch_stats, opt_state, rng, x, target
-    )
-    jax.block_until_ready(loss)
-    jax.block_until_ready(eval_step(params, batch_stats, rng, x))
-
-    def measure_round():
-        nonlocal params, batch_stats, opt_state
-        t0 = time.perf_counter()
-        loss = None
-        for i in range(STEPS):
+    # device-side loops: scan STEPS steps inside ONE dispatch so host/tunnel
+    # latency is excluded from the per-step measurement
+    @jax.jit
+    def train_many(params, batch_stats, opt_state, rng, x, target):
+        def body(carry, i):
+            params, batch_stats, opt_state = carry
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, jax.random.fold_in(rng, i), x, target
             )
-        jax.block_until_ready(loss)
+            return (params, batch_stats, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), jnp.arange(STEPS)
+        )
+        return params, batch_stats, opt_state, losses[-1]
+
+    @jax.jit
+    def eval_many(params, batch_stats, rng, x):
+        def body(_, i):
+            out = eval_step(params, batch_stats, jax.random.fold_in(rng, i), x)
+            return None, jnp.sum(out)
+
+        _, sums = jax.lax.scan(body, None, jnp.arange(STEPS))
+        return sums[-1]
+
+    # warmup / compile. IMPORTANT: synchronize by FETCHING VALUES — in this
+    # environment jax.block_until_ready returns before remote computation
+    # completes, inflating timings by orders of magnitude; a host read of
+    # the result cannot.
+    rng = jax.random.PRNGKey(7)
+    params, batch_stats, opt_state, loss = train_many(
+        params, batch_stats, opt_state, rng, x, target
+    )
+    float(np.asarray(loss))
+    float(np.asarray(eval_many(params, batch_stats, rng, x)))
+
+    def measure_round(r):
+        nonlocal params, batch_stats, opt_state
+        t0 = time.perf_counter()
+        params, batch_stats, opt_state, loss = train_many(
+            params, batch_stats, opt_state, jax.random.fold_in(rng, r), x, target
+        )
+        float(np.asarray(loss))  # true sync
         t_train = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        out = None
-        for i in range(STEPS):
-            out = eval_step(
-                params, batch_stats, jax.random.fold_in(rng, 10_000 + i), x
+        float(
+            np.asarray(
+                eval_many(params, batch_stats, jax.random.fold_in(rng, 999 + r), x)
             )
-        jax.block_until_ready(out)
+        )
         t_eval = time.perf_counter() - t0
         return BATCH * STEPS * 2 / (t_train + t_eval)
 
-    # median of 3 rounds — throughput through the device tunnel is noisy
-    value = sorted(measure_round() for _ in range(3))[1]
+    # median of 3 rounds
+    value = sorted(measure_round(r) for r in range(3))[1]
     baseline = _baseline_clouds_per_sec()
     print(
         json.dumps(

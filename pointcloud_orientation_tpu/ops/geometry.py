@@ -85,7 +85,7 @@ def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
 
     The reference calls this ``query_ball_point`` but it is a kNN — no radius
     filter (`models/base.py:29-35`). Large-N shapes on TPU dispatch to the
-    fused Pallas kernel (8.8x the XLA formulation at the reference's
+    fused Pallas kernel (7.6x the XLA formulation at the reference's
     canonical N=10k: the (B,S,N) distance tensor never leaves VMEM).
     """
     if _pallas_eligible(xyz.shape[1]):
@@ -136,7 +136,7 @@ def farthest_point_sample(
     rounds of min-distance update + argmax). Expressed as a ``lax.fori_loop``
     carrying the running min-distance vector so the whole loop stays compiled
     on device; large-N shapes on TPU dispatch to the single-kernel Pallas
-    implementation (3.2x: cloud + distance vector stay in VMEM for the whole
+    implementation (3x: cloud + distance vector stay in VMEM for the whole
     loop).
     """
     B, N, _ = xyz.shape

@@ -10,8 +10,9 @@ kNN/ball-query grouping):
 * :func:`knn_pallas` — fused pairwise-distance + k-selection per batch
   element: the ``(S, N)`` distance tile lives only in VMEM, so the ``(B, S,
   N)`` distance tensor (82 MB at the reference's canonical B=16, S=128,
-  N=10k) never hits HBM. Distances come off the MXU via one ``(S,3) x
-  (3,N)`` contraction; selection is K argmin+mask passes on the VPU.
+  N=10k) never hits HBM. Distances are exact-f32 VPU
+  broadcasts (chunked); selection is K argmin+mask passes on the VPU.
+  7.6x the XLA top_k formulation at the canonical shape.
 
 Both return indices (no gradients flow through integer selection; the
 surrounding gathers are differentiated by XLA as usual). CPU/interpret mode
