@@ -76,7 +76,7 @@ def _pallas_eligible(n: int) -> bool:
         return False
     if _PALLAS_MODE == "always":
         return True
-    return jax.default_backend() == "tpu" and n >= 2048
+    return jax.default_backend() == "tpu" and n >= 1024
 
 
 def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
