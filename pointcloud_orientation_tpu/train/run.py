@@ -99,14 +99,26 @@ def _decode_axes(task: str, outputs, i: int):
 def export_test_predictions(trainer, out_dir: str, max_count: int = 10):
     """Write up to 10 axes-annotated prediction PLYs from the test split —
     the reference's end-of-training visualization artifact
-    (`train.py:228-246`)."""
+    (`train.py:228-246`). Clouds are rotated with the frozen eval keys (the
+    reference predicts on its rotated test files)."""
+    import jax
+    import jax.numpy as jnp
+
     from ..data.ply import write_ply_with_axes
 
     ds = trainer.test_ds
     n = min(max_count, len(ds))
     if n == 0:
         return 0
-    clouds = ds.points[:n, : trainer.num_points]
+    pts, labels, uniform, symm, k_spec = ds.gather_host(np.arange(n))
+    eval_key = jax.random.fold_in(
+        jax.random.PRNGKey(trainer.cfg.seed * 104729 + 17), 0
+    )
+    batch = trainer.augment(
+        eval_key, jnp.asarray(pts), jnp.asarray(uniform), jnp.asarray(symm),
+        jnp.asarray(k_spec),
+    )
+    clouds = np.asarray(batch["points"])
     outputs = trainer.predict(clouds)
     written = 0
     os.makedirs(out_dir, exist_ok=True)

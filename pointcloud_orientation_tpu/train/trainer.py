@@ -227,9 +227,9 @@ class Trainer:
                 "symm": jnp.asarray(ds.symm_mask),
                 "k_spec": jnp.asarray(ds.k_spec),
             }
-            if ds.targets is not None:
+            if ds.targets is not None and self.cfg.rotation_mode == "none":
                 # stored sidecar GT (pre-rotated reference dataset); only
-                # meaningful with rotation_mode='none'
+                # valid when the trainer does not rotate further
                 for k, v in ds.targets.items():
                     resident[f"tgt_{k}"] = jnp.asarray(v)
             if self.mesh is not None:
@@ -370,7 +370,7 @@ class Trainer:
             jnp.asarray(k_spec),
         )
         batch["labels"] = jnp.asarray(labels)
-        if ds.targets is not None:
+        if ds.targets is not None and self.cfg.rotation_mode == "none":
             for k, v in ds.targets.items():
                 batch[k] = jnp.asarray(v[idx])
         valid = jnp.asarray(valid)
