@@ -15,8 +15,7 @@ communication.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
