@@ -111,10 +111,14 @@ def mvm_matched_loss(
     mu_gt: jax.Array,
     kappa_gt: jax.Array,
     k_gt: jax.Array,
+    unmatched_penalty: float = 0.0,
 ) -> Loss:
     """Hungarian-matched weighted mixture-of-von-Mises KL (see
     :func:`pointcloud_orientation_tpu.ops.matched_mvm_loss`)."""
-    per = matched_mvm_loss(mu_pred, kappa_pred, w_pred, mu_gt, kappa_gt, k_gt)
+    per = matched_mvm_loss(
+        mu_pred, kappa_pred, w_pred, mu_gt, kappa_gt, k_gt,
+        unmatched_penalty=unmatched_penalty,
+    )
     return jnp.mean(per), per
 
 

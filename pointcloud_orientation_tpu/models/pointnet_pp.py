@@ -158,11 +158,22 @@ class PointNetPPFwd(nn.Module):
 
 
 class PointNetPPVonMises(nn.Module):
-    """Single-peak von Mises head: ``mu = tanh(.) * pi``, ``kappa = softplus(.)``.
+    """Single-peak von Mises head.
 
-    Parity: `models/pointnet_pp_vonMises.py:8-38`.
+    ``mu_parameterization``:
+
+    * ``"tanh"`` (default, reference parity): ``mu = tanh(.) * pi``
+      (`models/pointnet_pp_vonMises.py:36`). This squash cannot wrap — a
+      target near ±pi sits at the saturated tail of tanh, which slows
+      convergence for yaw angles around the back direction.
+    * ``"atan2"`` (framework improvement): predict a 2-vector, normalize,
+      ``mu = atan2(s, c)`` — rotation-equivariant, no boundary. Same trick
+      the reference's own MvM head uses (`pointnet_pp_mvM.py:95-115`).
+
+    ``kappa = softplus(.)`` in both cases.
     """
 
+    mu_parameterization: str = "tanh"
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
@@ -178,9 +189,21 @@ class PointNetPPVonMises(nn.Module):
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )(xyz, train=train)
-        out = nn.Dense(2)(feat)
-        mu = jnp.tanh(out[:, 0]) * math.pi
-        kappa = nn.softplus(out[:, 1])
+        if self.mu_parameterization == "atan2":
+            out = nn.Dense(3)(feat)
+            cs = out[:, :2]
+            sq = jnp.sum(cs * cs, axis=-1, keepdims=True)
+            cs = cs / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-24)), 1e-4)
+            c, s = cs[:, 0], cs[:, 1]
+            degenerate = jnp.hypot(c, s) < 1e-3
+            c = jnp.where(degenerate, 1.0, c)
+            s = jnp.where(degenerate, 0.0, s)
+            mu = jnp.arctan2(s, c)
+            kappa = nn.softplus(out[:, 2])
+        else:
+            out = nn.Dense(2)(feat)
+            mu = jnp.tanh(out[:, 0]) * math.pi
+            kappa = nn.softplus(out[:, 1])
         return mu, kappa
 
 

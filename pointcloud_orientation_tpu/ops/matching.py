@@ -81,6 +81,7 @@ def matched_mvm_loss(
     mu_gt: jax.Array,
     kappa_gt: jax.Array,
     k_gt: jax.Array,
+    unmatched_penalty: float = 0.0,
 ) -> jax.Array:
     """Hungarian-matched, weight-normalized mixture-of-von-Mises KL loss.
 
@@ -95,6 +96,15 @@ def matched_mvm_loss(
 
     Samples with ``k <= 0`` contribute 0. All inputs are ``(B, K)`` except
     ``k_gt (B,)``; returns the ``(B,)`` per-sample loss vector.
+
+    ``unmatched_penalty`` (framework improvement, default 0 = exact
+    reference parity): the reference objective has a degenerate minimum —
+    the model can dump its mixture weight onto unmatched components and
+    drive the weighted-normalized loss to 0 regardless of fit (its own
+    published results show the signature; see RESULTS.md). A positive
+    penalty adds ``penalty * (1 - sum_{i<k} w_i)``, which is identically 0
+    when all components are matched (k = max_K) and otherwise makes the
+    collapse non-optimal.
     """
     B, K = mu_pred.shape
     cost = kl_von_mises(
@@ -111,6 +121,10 @@ def matched_mvm_loss(
 
     valid = jnp.arange(K)[None, :] < k_gt[:, None]
     w_valid = jnp.where(valid, w_pred, 0.0)
-    ws_sum = jnp.sum(w_valid, axis=-1) + 1e-8
-    loss = jnp.sum(w_valid * jnp.where(valid, matched_cost, 0.0), axis=-1) / ws_sum
+    ws_sum = jnp.sum(w_valid, axis=-1)
+    loss = jnp.sum(w_valid * jnp.where(valid, matched_cost, 0.0), axis=-1) / (
+        ws_sum + 1e-8
+    )
+    if unmatched_penalty:
+        loss = loss + unmatched_penalty * (1.0 - ws_sum)
     return jnp.where(k_gt > 0, loss, 0.0)

@@ -48,6 +48,9 @@ class TrainConfig:
     # distribution heads
     kappa_default: float = 8.0
     max_k: int = 4
+    # framework improvements over the reference (0/"tanh" = exact parity)
+    mvm_unmatched_penalty: float = 0.0  # guard vs the weight-collapse minimum
+    vm_mu_parameterization: str = "tanh"  # "atan2" = wrap-free mu head
     # runtime
     out_dir: str = "results"
     checkpoint_every: int = 0  # epochs between mid-run checkpoints (0 = off)

@@ -116,7 +116,8 @@ def _vm_ang(outputs, batch, cfg):
 def _mvm(outputs, batch, cfg):
     mu, kappa, w = outputs
     _, per = L.mvm_matched_loss(
-        mu, kappa, w, batch["mvm_mu"], batch["mvm_kappa"], batch["mvm_k"]
+        mu, kappa, w, batch["mvm_mu"], batch["mvm_kappa"], batch["mvm_k"],
+        unmatched_penalty=getattr(cfg, "mvm_unmatched_penalty", 0.0),
     )
     return per
 

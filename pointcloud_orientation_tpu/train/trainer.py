@@ -118,6 +118,8 @@ class Trainer:
             kwargs["bn_axis_name"] = cfg.bn_sync_axis
         if cfg.model == "pointnet_pp_mvm":
             kwargs["max_K"] = cfg.max_k
+        if cfg.model == "pointnet_pp_von_mises":
+            kwargs["mu_parameterization"] = cfg.vm_mu_parameterization
         if cfg.compute_dtype and "dtype" in fields:
             kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
         return model_cls(**kwargs)

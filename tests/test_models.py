@@ -165,3 +165,22 @@ def test_point_transformer_remat_matches(cloud):
         return jnp.sum(rem.apply({"params": p}, cloud, train=False) ** 2)
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_von_mises_atan2_parameterization(cloud):
+    model = PointNetPPVonMises(mu_parameterization="atan2")
+    (mu, kappa), _ = _init_and_apply(model, cloud)
+    assert mu.shape == (B,) and kappa.shape == (B,)
+    assert np.all(np.abs(np.asarray(mu)) <= np.pi + 1e-6)
+    assert np.all(np.asarray(kappa) >= 0)
+    # gradients finite through the atan2 head
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        cloud, train=False,
+    )
+    def loss(p):
+        m, k = model.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                           cloud, train=False)
+        return jnp.sum(m ** 2) + jnp.sum(k)
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))

@@ -191,3 +191,30 @@ def test_mu_case_c_minus_48_55deg():
 def test_mu_case_d_near_vertical_fallback():
     fwd = jnp.asarray([1e-12, 1.0, -1e-12])
     assert float(forward_to_mu(fwd)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_unmatched_penalty_blocks_weight_collapse():
+    """With the framework's unmatched-weight penalty, the collapse exploit
+    no longer yields ~0 loss; a well-fit prediction still does."""
+    B, K = 2, 4
+    mu_g = jnp.full((B, K), 1.0)
+    kappa_g = jnp.full((B, K), 8.0)
+    ks = jnp.asarray([1, 1])
+    # collapsed weights + bad fit: penalized near the full penalty (1.0)
+    bad = matched_mvm_loss(
+        jnp.zeros((B, K)), jnp.ones((B, K)), jnp.full((B, K), 1e-15),
+        mu_g, kappa_g, ks, unmatched_penalty=1.0,
+    )
+    assert float(jnp.min(bad)) > 0.9
+    # confident well-fit prediction: near zero
+    good = matched_mvm_loss(
+        mu_g, kappa_g, jnp.asarray([[1.0, 0, 0, 0]] * B),
+        mu_g, kappa_g, ks, unmatched_penalty=1.0,
+    )
+    assert float(jnp.max(good)) < 1e-3
+    # penalty=0 keeps exact reference parity (collapse -> ~0)
+    legacy = matched_mvm_loss(
+        jnp.zeros((B, K)), jnp.ones((B, K)), jnp.full((B, K), 1e-15),
+        mu_g, kappa_g, ks,
+    )
+    assert float(jnp.max(legacy)) < 1e-3
