@@ -110,6 +110,20 @@ PRESETS = {
         task="vm_kl", model="pointnet_pp_von_mises", rotation_mode="yaw",
         classes=SIX_CLASS_MIX, num_points=10_000,
     ),
+    # framework-improved single-peak vM: wrap-free atan2 mu head
+    # (A/B in RESULTS.md: test KL 1.28 -> 0.27 vs the tanh parity head)
+    "vm_kl_atan2": _p(
+        task="vm_kl", model="pointnet_pp_von_mises", rotation_mode="yaw",
+        classes=SIX_CLASS_MIX, num_points=10_000,
+        vm_mu_parameterization="atan2",
+    ),
+    # framework-improved MvM: unmatched-weight penalty removes the
+    # weight-collapse degenerate minimum (RESULTS.md)
+    "mvm_guarded": _p(
+        task="mvm", model="pointnet_pp_mvm", rotation_mode="yaw",
+        classes=MVM_CLASSES, epochs=100, grad_clip=1.0, num_points=10_000,
+        mvm_unmatched_penalty=1.0,
+    ),
     # train_multi_peaks_vonMises_KL.py — matched MvM KL, 12 categories,
     # 100 epochs, grad clip 1.0.
     "mvm": _p(
