@@ -265,3 +265,117 @@ def knn_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), xyz_t)
+
+
+# ---------------------------------------------------------------------------
+# Gather via one-hot matmul (XLA's TPU gather/scatter are row-at-a-time slow)
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(idx_ref, pts_ref, out_ref):
+    """out[r, :] = pts[idx[r], :] as a one-hot contraction on the MXU.
+
+    idx_ref: (TILE_R, 1) int32 VMEM; pts_ref: (N, C) VMEM;
+    out_ref: (TILE_R, C) VMEM.
+    """
+    N = pts_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], N), 1)
+    onehot = (lane == idx_ref[:, :]).astype(jnp.float32)
+    out_ref[:, :] = jax.lax.dot_general(
+        onehot,
+        pts_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _scatter_kernel(idx_ref, dout_ref, dpts_ref):
+    """dpts[n, :] = sum_r (idx[r] == n) * dout[r, :] — the gather transpose,
+    also one MXU contraction per tile.
+
+    idx_ref: (R, 1) int32; dout_ref: (R, C); dpts_ref: (N, C) VMEM out.
+    """
+    R = idx_ref.shape[0]
+    N = dpts_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    onehot = (lane == idx_ref[:, :]).astype(jnp.float32)  # (R, N)
+    dpts_ref[:, :] = jax.lax.dot_general(
+        onehot,
+        dout_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),  # contract over R
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _gather_fwd_impl(points: jax.Array, idx: jax.Array, interpret: bool):
+    B, N, C = points.shape
+    R = idx.shape[1]
+    TILE_R = R if R <= 512 else 512
+    if R % TILE_R:
+        TILE_R = R  # fall back to one tile
+    idx3 = idx.reshape(B, R, 1).astype(jnp.int32)
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(B, R // TILE_R),
+        in_specs=[
+            pl.BlockSpec((None, TILE_R, 1), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, C), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, TILE_R, C), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(idx3, points.astype(jnp.float32))
+
+
+def _scatter_impl(idx: jax.Array, dout: jax.Array, n: int, interpret: bool):
+    B, R, C = dout.shape
+    idx3 = idx.reshape(B, R, 1).astype(jnp.int32)
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, R, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, R, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(idx3, dout.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_pallas(points: jax.Array, idx: jax.Array, interpret: bool = False):
+    """Batched row gather ``points (B,N,C)[idx (B,R)] -> (B,R,C)`` as one-hot
+    MXU contractions, with the transpose (scatter-add) as its VJP — both
+    orders of magnitude faster than XLA's row-at-a-time TPU gather/scatter
+    for the SA grouping shapes.
+    """
+    return _gather_fwd_impl(points, idx, interpret)
+
+
+def _gather_vjp_fwd(points, idx, interpret):
+    # NB: in this jax version custom_vjp's fwd receives the ORIGINAL
+    # argument order (nondiff args in place); bwd receives them first.
+    return _gather_fwd_impl(points, idx, interpret), (idx, points.shape[1])
+
+
+def _gather_vjp_bwd(interpret, res, g):
+    idx, n = res
+    return _scatter_impl(idx, g, n, interpret), None
+
+
+gather_pallas.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)

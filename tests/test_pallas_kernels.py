@@ -87,3 +87,19 @@ def test_dispatch_mode_switch(rng):
     for b in range(2):
         for s in range(8):
             assert set(base[b, s].tolist()) == set(via_pallas[b, s].tolist())
+
+
+def test_gather_pallas_matches_and_grads(rng):
+    from pointcloud_orientation_tpu.ops.pallas_kernels import gather_pallas
+    from pointcloud_orientation_tpu.ops import index_points
+
+    pts = jnp.asarray(rng.normal(size=(2, 64, 5)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, size=(2, 32)).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(gather_pallas(pts, idx, True)),
+        np.asarray(index_points(pts, idx)),
+        atol=1e-6,
+    )
+    gp = jax.grad(lambda p: jnp.sum(gather_pallas(p, idx, True) ** 2))(pts)
+    gr = jax.grad(lambda p: jnp.sum(index_points(p, idx) ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
