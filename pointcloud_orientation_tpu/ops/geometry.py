@@ -218,6 +218,19 @@ def sample_and_group(
         raise ValueError(f"unknown sampling mode: {sampling}")
 
     new_xyz = index_points(xyz, fps_idx)  # (B,S,3)
+    if points is None and grouping == "knn" and _pallas_eligible(N) and N <= 4096:
+        # fused kNN + gather + center: the coordinate-only (sa1) hot path in
+        # one kernel — the selection passes' one-hot masks double as the
+        # gather, so the (B,S,K,3) neighbor extraction never runs as an XLA
+        # gather (+19% train+eval throughput at N=1024). Above ~4k points the
+        # per-pass extraction outgrows the gather it replaces (the XLA
+        # gather's cost scales with rows, the extraction with N), so large N
+        # keeps the two-step path. Coordinates carry no parameters, so the
+        # missing VJP of the fused op is never exercised.
+        from .pallas_kernels import knn_gather_pallas
+
+        _, normed = knn_gather_pallas(new_xyz, xyz, nsample)
+        return new_xyz, normed
     if grouping == "knn":
         idx = knn_query(new_xyz, xyz, nsample)
     elif grouping == "ball":

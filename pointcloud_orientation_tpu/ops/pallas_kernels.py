@@ -379,3 +379,97 @@ def _gather_vjp_bwd(interpret, res, g):
 
 
 gather_pallas.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused kNN + gather + center: the sa1 hot path in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _knn_gather_kernel(new_xyz_ref, xyz_ref, idx_ref, gx_ref, gy_ref, gz_ref,
+                       dist_ref):
+    """kNN selection that also emits the selected points' CENTERED
+    coordinates, reusing each pass's one-hot mask for the extraction —
+    the separate XLA gather (the most expensive single op in the sa1
+    stage) disappears.
+
+    new_xyz_ref: (S, 3); xyz_ref: (3, N); idx_ref: (S, K) int32 out;
+    g{x,y,z}_ref: (S, K) f32 out (centered coords); dist_ref: (S, N) scratch.
+    """
+    S, N = dist_ref.shape
+    K = idx_ref.shape[1]
+    CH = 2048
+    for start in range(0, N, CH):
+        size = min(CH, N - start)
+        xs = xyz_ref[:, start : start + size]
+        d = jnp.zeros((S, size), jnp.float32)
+        for c in range(3):
+            diff = new_xyz_ref[:, c][:, None] - xs[c, :][None, :]
+            d = d + diff * diff
+        dist_ref[:, start : start + size] = d
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+
+    def body(j, _):
+        d = dist_ref[:, :]
+        idx = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,)
+        taken = col_ids == idx[:, None]  # (S, N) one-hot
+        sel = jnp.where(out_cols == j, idx[:, None], idx_ref[:, :])
+        idx_ref[:, :] = sel
+        takenf = taken.astype(jnp.float32)
+        for c, ref in enumerate((gx_ref, gy_ref, gz_ref)):
+            coord = jnp.sum(takenf * xyz_ref[c, :][None, :], axis=1)  # (S,)
+            centered = coord - new_xyz_ref[:, c]
+            ref[:, :] = jnp.where(out_cols == j, centered[:, None], ref[:, :])
+        dist_ref[:, :] = jnp.where(taken, jnp.inf, d)
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
+def knn_gather_pallas(
+    new_xyz: jax.Array,
+    xyz: jax.Array,
+    nsample: int,
+    interpret: bool | None = None,
+):
+    """Fused kNN + gather + center for coordinate-only grouping (sa1).
+
+    Returns ``(idx (B,S,K) int32, centered (B,S,K,3) f32)`` where
+    ``centered[b,s,k] = xyz[b, idx[b,s,k]] - new_xyz[b,s]`` — the exact
+    sampling+grouping output of `models/pointnet_pp.py:30-32` without the
+    separate gather. NOTE: not differentiable w.r.t. inputs (coordinates
+    carry no parameters in this framework's models; gradients never reach
+    them).
+    """
+    B, S, _ = new_xyz.shape
+    N = xyz.shape[1]
+    if interpret is None:
+        interpret = _use_interpret()
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+
+    idx, gx, gy, gz = pl.pallas_call(
+        _knn_gather_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, S, nsample), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t)
+    centered = jnp.stack([gx, gy, gz], axis=-1)
+    return idx, centered

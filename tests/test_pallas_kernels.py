@@ -103,3 +103,38 @@ def test_gather_pallas_matches_and_grads(rng):
     gp = jax.grad(lambda p: jnp.sum(gather_pallas(p, idx, True) ** 2))(pts)
     gr = jax.grad(lambda p: jnp.sum(index_points(p, idx) ** 2))(pts)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
+
+
+def test_knn_gather_pallas_matches(rng):
+    from pointcloud_orientation_tpu.ops.pallas_kernels import knn_gather_pallas
+    from pointcloud_orientation_tpu.ops import index_points, knn_query
+
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    new_xyz = xyz[:, :24]
+    idx, centered = knn_gather_pallas(new_xyz, xyz, 8, interpret=True)
+    ridx = np.asarray(knn_query(new_xyz, xyz, 8))
+    for b in range(2):
+        for s in range(24):
+            assert set(ridx[b, s].tolist()) == set(np.asarray(idx)[b, s].tolist())
+    expect = index_points(xyz, idx) - new_xyz[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(centered), np.asarray(expect), atol=1e-5)
+
+
+def test_sample_and_group_fused_path_matches(rng):
+    """'always' mode routes sample_and_group's coordinate grouping through
+    the fused kernel; output must equal the two-step path."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    ref_xyz, ref_grouped = G.sample_and_group(xyz, None, 16, 8, key=key)
+    G.set_pallas_mode("always")
+    try:
+        got_xyz, got_grouped = G.sample_and_group(xyz, None, 16, 8, key=key)
+    finally:
+        G.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(got_xyz), np.asarray(ref_xyz), atol=1e-6)
+    # neighbor sets may be ordered differently; compare sorted per group
+    a = np.sort(np.asarray(ref_grouped), axis=2)
+    b = np.sort(np.asarray(got_grouped), axis=2)
+    np.testing.assert_allclose(a, b, atol=1e-5)
