@@ -92,7 +92,8 @@ class Trainer:
         self.state = self._init_state()
         self._train_step, self._eval_step = self._make_step_fns()
         self._train_epoch, self._eval_epoch = self._make_epoch_fns()
-        self._resident_cache: Dict[int, Dict[str, jax.Array]] = {}
+        # (dataset, device-resident arrays) pairs; see _resident for keying
+        self._resident_cache: list = []
         self.history: Dict[str, List[float]] = {
             "train": [],
             "val": [],
@@ -220,24 +221,28 @@ class Trainer:
         """Device-resident copy of a split: transferred once, indexed on
         device every step — no per-batch host gather or H2D copies (the
         reference re-parses ASCII files per batch, SURVEY.md §3.1)."""
-        cache_key = id(ds)
-        if cache_key not in self._resident_cache:
-            resident = {
-                "points": jnp.asarray(ds.points),
-                "labels": jnp.asarray(ds.labels),
-                "uniform": jnp.asarray(ds.uniform_mask),
-                "symm": jnp.asarray(ds.symm_mask),
-                "k_spec": jnp.asarray(ds.k_spec),
-            }
-            if ds.targets is not None and self.cfg.rotation_mode == "none":
-                # stored sidecar GT (pre-rotated reference dataset); only
-                # valid when the trainer does not rotate further
-                for k, v in ds.targets.items():
-                    resident[f"tgt_{k}"] = jnp.asarray(v)
-            if self.mesh is not None:
-                resident = replicate(resident, self.mesh)
-            self._resident_cache[cache_key] = resident
-        return self._resident_cache[cache_key]
+        # Keyed by identity with a strong reference to the dataset held in
+        # the cache entry: a bare id() key could silently alias two datasets
+        # if the id were ever reused after GC (VERDICT r1 housekeeping).
+        for cached_ds, cached in self._resident_cache:
+            if cached_ds is ds:
+                return cached
+        resident = {
+            "points": jnp.asarray(ds.points),
+            "labels": jnp.asarray(ds.labels),
+            "uniform": jnp.asarray(ds.uniform_mask),
+            "symm": jnp.asarray(ds.symm_mask),
+            "k_spec": jnp.asarray(ds.k_spec),
+        }
+        if ds.targets is not None and self.cfg.rotation_mode == "none":
+            # stored sidecar GT (pre-rotated reference dataset); only
+            # valid when the trainer does not rotate further
+            for k, v in ds.targets.items():
+                resident[f"tgt_{k}"] = jnp.asarray(v)
+        if self.mesh is not None:
+            resident = replicate(resident, self.mesh)
+        self._resident_cache.append((ds, resident))
+        return resident
 
     def _make_epoch_fns(self):
         """jit-compiled whole-epoch functions: gather -> augment -> step,
