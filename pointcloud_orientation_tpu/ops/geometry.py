@@ -79,6 +79,17 @@ def _pallas_eligible(n: int) -> bool:
     return jax.default_backend() == "tpu" and n >= 1024
 
 
+def _fused_group_eligible(n: int) -> bool:
+    """The fused SA-grouping kernel wins from much smaller N than the
+    standalone selection kernels (it also replaces the XLA gathers, which
+    dominate at sa2's N=128)."""
+    if _PALLAS_MODE == "never":
+        return False
+    if _PALLAS_MODE == "always":
+        return True
+    return jax.default_backend() == "tpu" and n >= 128
+
+
 def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
     """Indices of the ``nsample`` nearest points in ``xyz (B,N,3)`` for each
     centroid in ``new_xyz (B,S,3)``; returns ``(B,S,nsample)`` int32.
@@ -217,20 +228,26 @@ def sample_and_group(
     else:
         raise ValueError(f"unknown sampling mode: {sampling}")
 
-    new_xyz = index_points(xyz, fps_idx)  # (B,S,3)
-    if points is None and grouping == "knn" and _pallas_eligible(N) and N <= 4096:
-        # fused kNN + gather + center: the coordinate-only (sa1) hot path in
-        # one kernel — the selection passes' one-hot masks double as the
-        # gather, so the (B,S,K,3) neighbor extraction never runs as an XLA
-        # gather (+19% train+eval throughput at N=1024). Above ~4k points the
-        # per-pass extraction outgrows the gather it replaces (the XLA
-        # gather's cost scales with rows, the extraction with N), so large N
-        # keeps the two-step path. Coordinates carry no parameters, so the
-        # missing VJP of the fused op is never exercised.
-        from .pallas_kernels import knn_gather_pallas
+    if grouping == "knn" and _fused_group_eligible(N):
+        # Fused SA grouping kernel: centroid gather + exact kNN + neighbor
+        # gather (+ feature gather) + centering in ONE kernel per batch
+        # element. Selection is K argmin passes at VPU issue rate; the
+        # per-pass row extraction rides the MXU as a bit-exact one-hot
+        # contraction, so it is free next to the selection — this removed
+        # the 1.4 ms/step extraction overhead of the previous fused kernel
+        # and the 1.3 ms XLA top_k+gather stage at sa2's shapes (B=64).
+        from .pallas_kernels import sa_group_coords_pallas, sa_group_feats_pallas
 
-        _, normed = knn_gather_pallas(new_xyz, xyz, nsample)
-        return new_xyz, normed
+        if points is None:
+            new_xyz, grouped, _ = sa_group_coords_pallas(xyz, fps_idx, nsample)
+            return new_xyz, grouped
+        interp = jax.default_backend() != "tpu"
+        new_xyz, grouped, _ = sa_group_feats_pallas(
+            xyz, points, fps_idx, nsample, interp
+        )
+        return new_xyz, grouped
+
+    new_xyz = index_points(xyz, fps_idx)  # (B,S,3)
     if grouping == "knn":
         idx = knn_query(new_xyz, xyz, nsample)
     elif grouping == "ball":

@@ -428,6 +428,245 @@ def _knn_gather_kernel(new_xyz_ref, xyz_ref, idx_ref, gx_ref, gy_ref, gz_ref,
     jax.lax.fori_loop(0, K, body, 0)
 
 
+# ---------------------------------------------------------------------------
+# Fused SA grouping: distance -> kNN select -> gather -> center, with the
+# per-pass neighbor extraction on the MXU (one-hot contraction)
+# ---------------------------------------------------------------------------
+
+
+def _sa_group_kernel(cidx_ref, xyz_t_ref, pts_ref, newxyz_ref, grouped_ref,
+                     idx_ref, dist_ref, *, K: int):
+    """One batch element per grid cell. The set-abstraction grouping stage of
+    `models/pointnet_pp.py:27-37` in one kernel: centroid extraction, exact
+    pairwise distances (same -2ab+a^2+b^2 HIGHEST-f32 formula as
+    :func:`..ops.geometry.square_distance`, so ties break identically to the
+    XLA path), K argmin selection passes, and per-pass neighbor-row
+    extraction as a one-hot MXU contraction — bit-exact, because HIGHEST
+    decomposes each f32 into three disjoint-mantissa bf16 terms and the
+    one-hot weights are exactly 1.
+
+    cidx_ref:    (S, 1) int32 VMEM — centroid indices
+    xyz_t_ref:   (3, N) f32 VMEM — coordinates, feature-major
+    pts_ref:     (N, C) f32 VMEM — [xyz | feats] rows (C = 3 + D)
+    newxyz_ref:  (S, 3) f32 out — centroid coordinates
+    grouped_ref: (K, S, C) f32 out — slot k = k-th nearest row, coords
+                 centered on the centroid (neighbor-major so each pass does
+                 one contiguous static-index store)
+    idx_ref:     (K, S) int32 out — selected indices, nearest first
+    dist_ref:    (S, N) f32 scratch
+    """
+    S = newxyz_ref.shape[0]
+    N = pts_ref.shape[0]
+    C = pts_ref.shape[1]
+
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+
+    # centroid rows via one-hot MXU extraction
+    coh = (lane_n == cidx_ref[:, :]).astype(jnp.float32)  # (S, N)
+    new_xyz = jax.lax.dot_general(
+        coh,
+        pts_ref[:, 0:3],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (S, 3)
+    newxyz_ref[:, :] = new_xyz
+
+    # exact distances, MXU cross term (same formula/precision as the XLA path)
+    cross = jax.lax.dot_general(
+        new_xyz,
+        xyz_t_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (S, N)
+    x2 = jnp.sum(xyz_t_ref[:, :] * xyz_t_ref[:, :], axis=0, keepdims=True)  # (1,N)
+    c2 = jnp.sum(new_xyz * new_xyz, axis=1, keepdims=True)  # (S,1)
+    dist_ref[:, :] = c2 - 2.0 * cross + x2
+
+    # Exact 3-term bf16 split of the VALUE operand, once per cell: pts =
+    # hi + mid + lo bitwise (8+8+8 mantissa bits, disjoint ranges, each
+    # residual exact by Sterbenz). The per-pass extraction then runs as
+    # cheap DEFAULT-precision bf16 MXU dots — the one-hot side is exactly
+    # representable in bf16, so the gather stays bit-exact without paying
+    # HIGHEST's per-pass decomposition of the big (S, N) operand.
+    pts = pts_ref[:, :]
+    hi = pts.astype(jnp.bfloat16)
+    r1 = pts - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _extract(onehot_bf16, v):
+        return jax.lax.dot_general(
+            onehot_bf16,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for k in range(K):  # static unroll: every store has a static index
+        d = dist_ref[:, :]
+        col = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,) first-min
+        idx_ref[k, :] = col
+        taken = lane_n == col[:, None]  # (S, N) exact one-hot
+        t = taken.astype(jnp.bfloat16)
+        row = _extract(t, hi) + _extract(t, mid) + _extract(t, lo)  # (S, C)
+        centered = row[:, 0:3] - new_xyz
+        if C > 3:
+            grouped_ref[k, :, :] = jnp.concatenate([centered, row[:, 3:]], axis=1)
+        else:
+            grouped_ref[k, :, :] = centered
+        dist_ref[:, :] = jnp.where(taken, jnp.inf, d)
+
+
+def _sa_group_call(pts: jax.Array, cidx: jax.Array, nsample: int,
+                   interpret: bool):
+    """pts: (B, N, 3+D) f32 rows = [xyz | feats]; cidx: (B, S) int32.
+
+    Returns (new_xyz (B,S,3), grouped (B,S,K,3+D), idx (B,S,K))."""
+    B, N, C = pts.shape
+    S = cidx.shape[1]
+    K = nsample
+    xyz_t = jnp.swapaxes(pts[:, :, :3], 1, 2)  # (B, 3, N)
+    cidx3 = cidx.reshape(B, S, 1).astype(jnp.int32)
+
+    kernel = functools.partial(_sa_group_kernel, K=K)
+    new_xyz, grouped, idx = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, S, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, K, S, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, S, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, S), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cidx3, xyz_t, pts.astype(jnp.float32))
+    return new_xyz, jnp.swapaxes(grouped, 1, 2), jnp.swapaxes(idx, 1, 2)
+
+
+def _sa_scatter_kernel(idx_ref, dg_ref, dfeat_ref, *, K: int):
+    """Transpose of the fused grouping's feature gather: scatter-add each
+    neighbor-slot cotangent back to its source row, one transposed one-hot
+    MXU contraction per slot.
+
+    idx_ref: (K, S) int32; dg_ref: (K, S, D); dfeat_ref: (N, D) f32 out.
+    """
+    S = idx_ref.shape[1]
+    N, D = dfeat_ref.shape
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    acc = jnp.zeros((N, D), jnp.float32)
+    for k in range(K):
+        col = idx_ref[k, :]  # (S,)
+        oh = (lane_n == col[:, None]).astype(jnp.float32)  # (S, N)
+        acc = acc + jax.lax.dot_general(
+            oh,
+            dg_ref[k, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),  # contract S
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    dfeat_ref[:, :] = acc
+
+
+def _sa_scatter_call(idx: jax.Array, dg: jax.Array, n: int, interpret: bool):
+    """idx: (B,S,K); dg: (B,S,K,D) cotangents -> (B,n,D) scatter-add."""
+    B, S, K = idx.shape
+    D = dg.shape[-1]
+    idx_t = jnp.swapaxes(idx, 1, 2)  # (B, K, S)
+    dg_t = jnp.swapaxes(dg, 1, 2)  # (B, K, S, D)
+    kernel = functools.partial(_sa_scatter_kernel, K=K)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, K, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, K, S, D), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx_t, dg_t.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
+def sa_group_coords_pallas(
+    xyz: jax.Array,
+    cidx: jax.Array,
+    nsample: int,
+    interpret: bool | None = None,
+):
+    """Fused SA grouping for the coordinate-only stage (sa1): centroid
+    gather + exact kNN + neighbor gather + centering in one kernel.
+
+    Returns ``(new_xyz (B,S,3), grouped (B,S,K,3), idx (B,S,K))`` matching
+    `models/pointnet_pp.py:27-37` (kNN semantics of `models/base.py:29-35`).
+    NOT differentiable (coordinates carry no parameters in these models).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    return _sa_group_call(xyz.astype(jnp.float32), cidx, nsample, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sa_group_feats_pallas(
+    xyz: jax.Array,
+    feats: jax.Array,
+    cidx: jax.Array,
+    nsample: int,
+    interpret: bool = False,
+):
+    """Fused SA grouping with features (sa2): centroid gather + exact kNN +
+    joint [coords|feats] neighbor gather + coordinate centering in one
+    kernel; the feature gather's VJP is the transposed one-hot scatter-add
+    (also a Pallas kernel). Coordinates receive zero cotangents — they carry
+    no parameters in these models.
+
+    Returns ``(new_xyz (B,S,3), grouped (B,S,K,3+D), idx (B,S,K))``.
+    """
+    pts = jnp.concatenate([xyz.astype(jnp.float32), feats.astype(jnp.float32)], -1)
+    return _sa_group_call(pts, cidx, nsample, interpret)
+
+
+def _sa_group_feats_fwd(xyz, feats, cidx, nsample, interpret):
+    pts = jnp.concatenate([xyz.astype(jnp.float32), feats.astype(jnp.float32)], -1)
+    out = _sa_group_call(pts, cidx, nsample, interpret)
+    new_xyz, grouped, idx = out
+    # dtype carriers: dtypes themselves are not valid pytree leaves
+    xyz_proto = jnp.zeros((0,), xyz.dtype)
+    feats_proto = jnp.zeros((0,), feats.dtype)
+    return out, (idx, xyz.shape, xyz_proto, feats.shape, feats_proto, cidx.shape)
+
+
+def _sa_group_feats_bwd(nsample, interpret, res, g):
+    import numpy as _np
+
+    idx, xyz_shape, xyz_proto, feats_shape, feats_proto, cidx_shape = res
+    _, dgrouped, _ = g  # cotangents for (new_xyz, grouped, idx)
+    dfeats = _sa_scatter_call(idx, dgrouped[..., 3:], feats_shape[1], interpret)
+    dxyz = jnp.zeros(xyz_shape, xyz_proto.dtype)
+    dcidx = _np.zeros(cidx_shape, dtype=jax.dtypes.float0)
+    return dxyz, dfeats.astype(feats_proto.dtype), dcidx
+
+
+sa_group_feats_pallas.defvjp(_sa_group_feats_fwd, _sa_group_feats_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
 def knn_gather_pallas(
     new_xyz: jax.Array,

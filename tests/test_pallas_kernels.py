@@ -138,3 +138,79 @@ def test_sample_and_group_fused_path_matches(rng):
     a = np.sort(np.asarray(ref_grouped), axis=2)
     b = np.sort(np.asarray(got_grouped), axis=2)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sa_group_coords_pallas_matches(rng):
+    from pointcloud_orientation_tpu.ops import index_points, knn_query
+    from pointcloud_orientation_tpu.ops.pallas_kernels import sa_group_coords_pallas
+
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    cidx = jnp.asarray(rng.choice(256, size=(2, 24), replace=False).astype(np.int32))
+    new_xyz, grouped, idx = sa_group_coords_pallas(xyz, cidx, 8, interpret=True)
+
+    ref_new = index_points(xyz, cidx)
+    np.testing.assert_allclose(np.asarray(new_xyz), np.asarray(ref_new), atol=1e-6)
+    ref_idx = np.asarray(knn_query(ref_new, xyz, 8))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    expect = index_points(xyz, jnp.asarray(ref_idx)) - ref_new[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(expect), atol=1e-5)
+
+
+def test_sa_group_feats_pallas_matches_and_grads(rng):
+    from pointcloud_orientation_tpu.ops import index_points, knn_query
+    from pointcloud_orientation_tpu.ops.pallas_kernels import sa_group_feats_pallas
+
+    B, N, D, S, K = 2, 96, 16, 12, 8
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    cidx = jnp.asarray(
+        np.stack([rng.choice(N, size=S, replace=False) for _ in range(B)]).astype(
+            np.int32
+        )
+    )
+    new_xyz, grouped, idx = sa_group_feats_pallas(xyz, feats, cidx, K, True)
+
+    ref_new = index_points(xyz, cidx)
+    ref_idx = knn_query(ref_new, xyz, K)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    ref_coords = index_points(xyz, ref_idx) - ref_new[:, :, None, :]
+    ref_feats = index_points(feats, ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(grouped[..., :3]), np.asarray(ref_coords), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(grouped[..., 3:]), np.asarray(ref_feats), atol=1e-6
+    )
+
+    # feature-gather VJP == autodiff of the XLA gather
+    def loss_pallas(f):
+        _, g, _ = sa_group_feats_pallas(xyz, f, cidx, K, True)
+        return jnp.sum(g[..., 3:] ** 3)
+
+    def loss_ref(f):
+        g = index_points(f, ref_idx)
+        return jnp.sum(g**3)
+
+    gp = jax.grad(loss_pallas)(feats)
+    gr = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-5, atol=1e-5)
+
+
+def test_sample_and_group_fused_feats_path_matches(rng):
+    """'always' mode routes the feature-bearing (sa2-style) grouping through
+    the fused kernel; output must equal the two-step XLA path."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(2, 128, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    ref_xyz, ref_grouped = G.sample_and_group(xyz, pts, 16, 8, key=key)
+    G.set_pallas_mode("always")
+    try:
+        got_xyz, got_grouped = G.sample_and_group(xyz, pts, 16, 8, key=key)
+    finally:
+        G.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(got_xyz), np.asarray(ref_xyz), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_grouped), np.asarray(ref_grouped), atol=1e-5
+    )

@@ -1,0 +1,142 @@
+"""On-device Pallas parity check: asserts every TPU kernel's output equals
+the pure-jnp reference ON THE REAL CHIP (Mosaic compile != Mosaic correct;
+the interpret-mode tests in tests/test_pallas_kernels.py cannot see
+device-side miscompiles). Run: python tpu_check.py   (exit 0 = all equal).
+
+VERDICT r1 item 6. Canonical shapes: the SA-stage shapes of the PointNet++
+trunk (`models/pointnet_pp.py:48-57`) at B=8, plus a large-N case.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, exact=True, atol=0.0, rtol=0.0):
+    got, want = np.asarray(got), np.asarray(want)
+    if exact:
+        ok = np.array_equal(got, want)
+    else:
+        ok = np.allclose(got, want, atol=atol, rtol=rtol)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}")
+    if not ok:
+        mism = np.sum(got != want) if exact else np.sum(
+            ~np.isclose(got, want, atol=atol, rtol=0)
+        )
+        print(f"      mismatches: {mism}/{got.size}")
+    return ok
+
+
+def main() -> int:
+    from pointcloud_orientation_tpu.ops import geometry as G
+    from pointcloud_orientation_tpu.ops.pallas_kernels import (
+        ball_query_pallas,
+        fps_pallas,
+        gather_pallas,
+        knn_gather_pallas,
+        knn_pallas,
+        sa_group_coords_pallas,
+        sa_group_feats_pallas,
+    )
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend")
+        return 0
+    G.set_pallas_mode("never")  # the jnp references must stay pure-XLA
+    ok = True
+    key = jax.random.PRNGKey(0)
+
+    for B, N, S, K in [(8, 1024, 128, 32), (2, 10000, 128, 32)]:
+        xyz = jax.random.normal(key, (B, N, 3), jnp.float32)
+        cidx = G.random_sample_indices(jax.random.PRNGKey(1), B, N, S)
+        new_xyz = G.index_points(xyz, cidx)
+
+        ref_idx = G.knn_query(new_xyz, xyz, K)
+        ok &= check(
+            f"knn_pallas B={B} N={N}",
+            knn_pallas(new_xyz, xyz, K, interpret=False),
+            ref_idx,
+        )
+
+        ref_fps = G.farthest_point_sample(xyz, S)
+        ok &= check(
+            f"fps_pallas B={B} N={N}",
+            fps_pallas(xyz, S, interpret=False),
+            ref_fps,
+        )
+
+        r = 0.3
+        ref_ball = G.ball_query(r, K, xyz, new_xyz)
+        ok &= check(
+            f"ball_query_pallas B={B} N={N}",
+            ball_query_pallas(r, K, xyz, new_xyz, interpret=False),
+            ref_ball,
+        )
+
+        nxp, grouped, idx = sa_group_coords_pallas(xyz, cidx, K, interpret=False)
+        ok &= check(f"sa_group coords idx B={B} N={N}", idx, ref_idx)
+        ok &= check(f"sa_group new_xyz B={B} N={N}", nxp, new_xyz)
+        ref_centered = G.index_points(xyz, ref_idx) - new_xyz[:, :, None, :]
+        ok &= check(
+            f"sa_group centered B={B} N={N}", grouped, ref_centered, exact=True
+        )
+
+        gidx, centered = knn_gather_pallas(new_xyz, xyz, K, interpret=False)
+        ok &= check(
+            f"knn_gather centered B={B} N={N}",
+            centered,
+            G.index_points(xyz, gidx) - new_xyz[:, :, None, :],
+            exact=False,
+            atol=1e-6,
+        )
+
+    # feature-bearing fused grouping at the sa2 shape
+    B, N, S, K, D = 8, 128, 32, 32, 128
+    xyz = jax.random.normal(key, (B, N, 3), jnp.float32)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (B, N, D), jnp.float32)
+    cidx = G.random_sample_indices(jax.random.PRNGKey(3), B, N, S)
+    new_xyz = G.index_points(xyz, cidx)
+    ref_idx = G.knn_query(new_xyz, xyz, K)
+    nxp, grouped, idx = sa_group_feats_pallas(xyz, feats, cidx, K, False)
+    ok &= check("sa_group_feats idx (sa2 shape)", idx, ref_idx)
+    ok &= check(
+        "sa_group_feats coords", grouped[..., :3],
+        G.index_points(xyz, ref_idx) - new_xyz[:, :, None, :],
+    )
+    ok &= check("sa_group_feats feats", grouped[..., 3:], G.index_points(feats, ref_idx))
+
+    # scatter VJP on device
+    def loss_pallas(f):
+        _, g, _ = sa_group_feats_pallas(xyz, f, cidx, K, False)
+        return jnp.sum(g[..., 3:] ** 3)
+
+    def loss_ref(f):
+        return jnp.sum(G.index_points(f, ref_idx) ** 3)
+
+    gp = jax.grad(loss_pallas)(feats)
+    gr = jax.grad(loss_ref)(feats)
+    # rtol: rows gathered with multiplicity ~16 accumulate in a different
+    # order than XLA's scatter-add -> last-ulp f32 noise (measured 3.6e-7
+    # relative on device)
+    ok &= check("sa_group_feats VJP scatter", gp, gr, exact=False, rtol=1e-5)
+
+    # one-hot gather + scatter-transpose kernel
+    idx2 = jax.random.randint(jax.random.PRNGKey(4), (B, S * K), 0, N)
+    ok &= check(
+        "gather_pallas",
+        gather_pallas(feats, idx2, False),
+        G.index_points(feats, idx2),
+        exact=False,
+        atol=1e-6,
+    )
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
