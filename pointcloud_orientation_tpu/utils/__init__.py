@@ -1,4 +1,5 @@
 from .torch_import import (
+    import_point_transformer_state_dict,
     import_pointnet_pp_state_dict,
     import_pointnet_state_dict,
     load_torch_checkpoint,
@@ -6,6 +7,7 @@ from .torch_import import (
 from .profiling import StepTimer, trace_annotation
 
 __all__ = [
+    "import_point_transformer_state_dict",
     "import_pointnet_pp_state_dict",
     "import_pointnet_state_dict",
     "load_torch_checkpoint",

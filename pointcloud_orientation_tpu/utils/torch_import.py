@@ -214,6 +214,57 @@ def import_pointnet_state_dict(
     return params, stats
 
 
+def import_point_transformer_state_dict(
+    state_dict: Mapping[str, Any], num_heads: int = 4
+) -> Tuple[Dict, Dict]:
+    """Convert the reference ``PointTransformer`` state_dict
+    (`models/point_transformer.py:4-20`: Linear 3->64, torch
+    ``nn.TransformerEncoder`` of post-norm layers, Linear 64->3) onto the
+    flax :class:`..models.PointTransformer` tree.
+
+    Layout notes: torch ``nn.MultiheadAttention`` packs q/k/v as the row
+    thirds of ``in_proj_weight (3E, E)``; flax splits them into per-head
+    kernels ``(E, H, E/H)`` (head-major concatenation, matching torch's
+    ``(B, H, N, Dh) -> (B, N, H*Dh)`` reshape). torch ``Linear`` weights are
+    ``(out, in)`` = transposed flax kernels.
+    """
+    params: Dict = {}
+
+    def dense(path, w, b):
+        _set(params, path + ("kernel",), _to_np(w).T)
+        _set(params, path + ("bias",), _to_np(b))
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    dense(("Dense_0",), sd["input_proj.weight"], sd["input_proj.bias"])
+    dense(("Dense_1",), sd["fc_out.weight"], sd["fc_out.bias"])
+
+    layers = sorted(
+        {int(k.split(".")[2]) for k in sd if k.startswith("transformer.layers.")}
+    )
+    for i in layers:
+        p = f"transformer.layers.{i}."
+        lp = (f"TransformerEncoderLayer_{i}",)
+        E = sd[p + "self_attn.in_proj_weight"].shape[1]
+        H, Dh = num_heads, E // num_heads
+        in_w = sd[p + "self_attn.in_proj_weight"]  # (3E, E) rows = q,k,v
+        in_b = sd[p + "self_attn.in_proj_bias"]
+        attn = lp + ("MultiHeadDotProductAttention_0",)
+        for j, name in enumerate(("query", "key", "value")):
+            w = in_w[j * E : (j + 1) * E]  # (E, E), out-major
+            b = in_b[j * E : (j + 1) * E]
+            _set(params, attn + (name, "kernel"), w.T.reshape(E, H, Dh))
+            _set(params, attn + (name, "bias"), b.reshape(H, Dh))
+        ow = sd[p + "self_attn.out_proj.weight"]  # (E, E)
+        _set(params, attn + ("out", "kernel"), ow.T.reshape(H, Dh, E))
+        _set(params, attn + ("out", "bias"), sd[p + "self_attn.out_proj.bias"])
+        dense(lp + ("Dense_0",), sd[p + "linear1.weight"], sd[p + "linear1.bias"])
+        dense(lp + ("Dense_1",), sd[p + "linear2.weight"], sd[p + "linear2.bias"])
+        for t, flax_name in (("norm1", "LayerNorm_0"), ("norm2", "LayerNorm_1")):
+            _set(params, lp + (flax_name, "scale"), sd[p + t + ".weight"])
+            _set(params, lp + (flax_name, "bias"), sd[p + t + ".bias"])
+    return params, {}
+
+
 _PP_MODELS = frozenset(_HEADS)
 
 
@@ -226,4 +277,6 @@ def load_torch_checkpoint(
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if model in _PP_MODELS:
         return import_pointnet_pp_state_dict(sd, model)
+    if model == "point_transformer":
+        return import_point_transformer_state_dict(sd)
     return import_pointnet_state_dict(sd, model)

@@ -94,3 +94,24 @@ def test_per_label_runner(ds, tmp_path):
     text = (tmp_path / "labels" / "summary.txt").read_text()
     assert "chair" in text and "sofa" in text
     assert (tmp_path / "labels" / "chair" / "loss_curve.png").exists()
+
+
+def test_dp_global_batch_invariance_across_mesh_sizes(ds):
+    """The same global-batch training step is invariant to the data-mesh
+    size (VERDICT r1 item 8): under jit+GSPMD all reductions (loss mean,
+    gradient sums, BatchNorm batch stats) are global, so mesh sizes 2/4/8
+    must reproduce the single-device parameters after an epoch."""
+    cfg = preset("simple_pointnet", classes=("chair", "sofa")).replace(
+        num_points=128, batch_size=8, epochs=1, optimizer="sgd"
+    )
+    single = Trainer(cfg, ds)
+    single.fit(epochs=1, log_every=0)
+
+    for n in (2, 4, 8):
+        mesh = make_mesh(("data",), (n,), jax.devices()[:n])
+        dp = Trainer(cfg, ds, mesh=mesh)
+        dp.fit(epochs=1, log_every=0)
+        _params_equal(single.state.params, dp.state.params, atol=2e-5)
+        assert single.history["train"][0] == pytest.approx(
+            dp.history["train"][0], abs=1e-5
+        ), f"mesh size {n} diverged"

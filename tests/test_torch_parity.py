@@ -193,3 +193,24 @@ def test_mvm_parity(cloud):
     np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(kappa_j), kappa_t.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_point_transformer_parity(cloud):
+    """Maps torch nn.TransformerEncoder weights (in_proj qkv row thirds,
+    head-major out_proj) onto the flax tree; eval-mode outputs must match.
+    Ref: `models/point_transformer.py:4-20`."""
+    from models.point_transformer import PointTransformer as TorchModel
+
+    from pointcloud_orientation_tpu.models import PointTransformer
+    from pointcloud_orientation_tpu.utils import (
+        import_point_transformer_state_dict,
+    )
+
+    tm = _randomize(TorchModel(depth=6))
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(cloud)).numpy()
+    params, _ = import_point_transformer_state_dict(tm.state_dict())
+    got = PointTransformer(depth=6).apply(
+        {"params": params}, jnp.asarray(cloud), train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-3, atol=1e-4)
