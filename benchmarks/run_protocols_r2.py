@@ -44,7 +44,7 @@ def axes_protocol():
     cfg = preset("axes_all_labels").replace(
         num_points=1024, batch_size=16, epochs=200
     )
-    summary = run_per_label(cfg, ds, "results/axes_all_40_full")
+    summary = run_per_label(cfg, ds, "results/axes_all_40_full", resume=True)
     vals = sorted(summary.values())
     print(
         f"40-label 200-epoch protocol done in {(time.time()-t0)/60:.1f} min: "

@@ -24,6 +24,7 @@ Per-label training over every category (the `train.py` protocol):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from typing import Optional
@@ -198,14 +199,36 @@ def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = Non
     return trainer, test_acc
 
 
-def run_per_label(cfg, dataset, out_dir: str, mesh=None):
+def _completed_best_val(label_dir: str, epochs: int):
+    """best_val from a finished per-label run (metrics.json with a full
+    history at this epoch budget and a test block), else None."""
+    path = os.path.join(label_dir, "metrics.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        if len(m["history"]["val"]) == epochs and "test" in m:
+            return float(m["best_val"])
+    except (OSError, KeyError, ValueError):
+        pass
+    return None
+
+
+def run_per_label(cfg, dataset, out_dir: str, mesh=None, resume: bool = False):
     """The `train.py:250-276` protocol: one model per category, appending a
-    per-label summary."""
+    per-label summary. With resume=True, labels whose metrics.json already
+    records a completed run at this epoch budget are skipped (their best_val
+    is read back), so an interrupted 40-label protocol continues in place."""
     os.makedirs(out_dir, exist_ok=True)
     summary = {}
     for label in dataset.class_names:
         sub_cfg = cfg.replace(classes=(label,), per_label=False)
         label_dir = os.path.join(out_dir, label)
+        if resume:
+            prior = _completed_best_val(label_dir, sub_cfg.epochs)
+            if prior is not None:
+                summary[label] = prior
+                write_summary_txt(os.path.join(out_dir, "summary.txt"), summary)
+                continue
         trainer, test_acc = run_single(
             sub_cfg, dataset.select_classes([label]), label_dir, mesh, label=label
         )
