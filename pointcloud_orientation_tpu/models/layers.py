@@ -31,15 +31,29 @@ class SharedMLP(nn.Module):
 
     Equivalent to the reference's 1x1 ``Conv2d`` + ``BatchNorm2d`` + ReLU
     stacks (`models/pointnet_pp.py:14-19,39-41`).
+
+    ``fuse_max=True`` switches to the fused Pallas path: the input must then
+    be the *neighbor-major* grouped tensor ``(B, K, S, C)`` and the return
+    value is the max-pooled ``(B, S, C_out)`` — MLP and neighbor max-pool run
+    as one kernel with BatchNorm pre-folded into per-layer scale/shift
+    (running stats in eval — bitwise the same normalization as the unfused
+    path; differentiable ghost stats over a 1/``ghost_stride`` neighbor
+    subsample in train, the VERDICT-sanctioned ghost-BN design). The param
+    tree is identical to the unfused module, so checkpoints and torch
+    imports are interchangeable.
     """
 
     channels: Sequence[int]
     norm: str = "batch"  # "batch" | "layer" | "none"
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # computation dtype (e.g. bfloat16)
+    fuse_max: bool = False
+    ghost_stride: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.fuse_max:
+            return self._fused_max(x, train)
         for ch in self.channels:
             x = nn.Dense(ch, dtype=self.dtype)(x)
             if self.norm == "batch":
@@ -54,6 +68,49 @@ class SharedMLP(nn.Module):
                 x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
+
+    def _fused_max(self, grouped: jax.Array, train: bool) -> jax.Array:
+        """grouped: (B, K, S, C) -> pooled (B, S, C_out) via
+        :func:`..ops.pallas_kernels.sa_mlp_max_pallas`."""
+        from ..ops.pallas_kernels import sa_mlp_max_pallas
+
+        assert self.norm == "batch", "fused SA MLP requires BatchNorm"
+        assert self.bn_axis_name is None, "fused SA MLP is per-device BN only"
+        eps = 1e-5
+        # ghost rows: every ghost_stride-th neighbor slot in train (stats over
+        # batch x centroids x K/stride neighbors); a single row in eval, where
+        # the BN calls only register params and running stats carry the fold.
+        if train:
+            g = grouped[:, :: self.ghost_stride]
+        else:
+            g = grouped[:, :1, :1]
+        layers = []
+        for i, ch in enumerate(self.channels):
+            dense = nn.Dense(ch, dtype=self.dtype, name=f"Dense_{i}")
+            zg = dense(g)
+            bn = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=eps,
+                dtype=self.dtype,
+                name=f"BatchNorm_{i}",
+            )
+            g = nn.relu(bn(zg))
+            dp = self.get_variable("params", f"Dense_{i}")
+            bp = self.get_variable("params", f"BatchNorm_{i}")
+            if train:
+                zf = zg.astype(jnp.float32)
+                mu = jnp.mean(zf, axis=(0, 1, 2))
+                var = jnp.mean(zf * zf, axis=(0, 1, 2)) - mu * mu
+            else:
+                st = self.get_variable("batch_stats", f"BatchNorm_{i}")
+                mu, var = st["mean"], st["var"]
+            s = bp["scale"] * jax.lax.rsqrt(var + eps)
+            t = (dp["bias"] - mu) * s + bp["bias"]
+            layers.append((dp["kernel"], s, t))
+        bf16 = self.dtype == jnp.bfloat16
+        interpret = jax.default_backend() != "tpu"
+        return sa_mlp_max_pallas(grouped, layers, bf16, interpret)
 
 
 class SetAbstraction(nn.Module):
@@ -92,8 +149,15 @@ class SetAbstraction(nn.Module):
         points: Optional[jax.Array],
         train: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
+        # Fused compute stage: shared-MLP + neighbor max-pool as one Pallas
+        # kernel over the neighbor-major grouped tensor (no per-layer
+        # activation traffic). Per-device BatchNorm only; the param tree is
+        # identical either way (see SharedMLP.fuse_max).
+        fused_mlp = G.fused_mlp_eligible() and self.bn_axis_name is None
         if self.group_all:
             new_xyz, grouped = G.group_all(xyz, points)
+            if fused_mlp:
+                grouped = jnp.swapaxes(grouped, 1, 2)  # (B, N, 1, C)
         else:
             sampling = self.sampling
             key = None
@@ -113,10 +177,18 @@ class SetAbstraction(nn.Module):
                 sampling=sampling,
                 grouping=self.grouping,
                 radius=self.radius,
+                neighbor_major=fused_mlp,
             )
-        feats = SharedMLP(
-            self.mlp_channels, bn_axis_name=self.bn_axis_name, dtype=self.dtype
-        )(grouped, train=train)
+        mlp = SharedMLP(
+            self.mlp_channels,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            fuse_max=fused_mlp,
+            name="SharedMLP_0",
+        )
+        if fused_mlp:
+            return new_xyz, mlp(grouped, train=train)
+        feats = mlp(grouped, train=train)
         pooled = jnp.max(feats, axis=2)  # (B, S, C_out)
         return new_xyz, pooled
 

@@ -90,6 +90,21 @@ def _fused_group_eligible(n: int) -> bool:
     return jax.default_backend() == "tpu" and n >= 128
 
 
+def fused_mlp_eligible() -> bool:
+    """Whether the fused shared-MLP+max kernel should carry the SA compute
+    stage (see :func:`..ops.pallas_kernels.sa_mlp_max_pallas`).
+    ``PCOT_FUSED_MLP=0`` disables it independently of the pallas mode."""
+    import os
+
+    if os.environ.get("PCOT_FUSED_MLP") == "0":
+        return False
+    if _PALLAS_MODE == "never":
+        return False
+    if _PALLAS_MODE == "always":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
     """Indices of the ``nsample`` nearest points in ``xyz (B,N,3)`` for each
     centroid in ``new_xyz (B,S,3)``; returns ``(B,S,nsample)`` int32.
@@ -202,6 +217,7 @@ def sample_and_group(
     sampling: str = "random",
     grouping: str = "knn",
     radius: float = 0.2,
+    neighbor_major: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample ``npoint`` centroids and group ``nsample`` neighbors per centroid.
 
@@ -215,6 +231,9 @@ def sample_and_group(
     reference demo path), or ``"first"`` (deterministic; for eval parity).
     grouping: ``"knn"`` (reference production path) or ``"ball"``
     (reference demo path, radius-filtered).
+    neighbor_major: return grouped features as ``(B, K, S, 3+D)`` — the
+    fused grouping kernel's native layout, consumed transpose-free by the
+    fused MLP+max kernel.
     """
     B, N, _ = xyz.shape
     if sampling == "random":
@@ -240,11 +259,15 @@ def sample_and_group(
 
         if points is None:
             new_xyz, grouped, _ = sa_group_coords_pallas(xyz, fps_idx, nsample)
-            return new_xyz, grouped
-        interp = jax.default_backend() != "tpu"
-        new_xyz, grouped, _ = sa_group_feats_pallas(
-            xyz, points, fps_idx, nsample, interp
-        )
+        else:
+            interp = jax.default_backend() != "tpu"
+            new_xyz, grouped, _ = sa_group_feats_pallas(
+                xyz, points, fps_idx, nsample, interp
+            )
+        if neighbor_major:
+            # the kernel's native layout is (B,K,S,C); the wrapper's swap and
+            # this one cancel at XLA level, so this is transpose-free
+            grouped = jnp.swapaxes(grouped, 1, 2)
         return new_xyz, grouped
 
     new_xyz = index_points(xyz, fps_idx)  # (B,S,3)
@@ -262,6 +285,8 @@ def sample_and_group(
         new_points = jnp.concatenate([normed, grouped_pts], axis=-1)
     else:
         new_points = normed
+    if neighbor_major:
+        new_points = jnp.swapaxes(new_points, 1, 2)
     return new_xyz, new_points
 
 

@@ -667,6 +667,238 @@ def _sa_group_feats_bwd(nsample, interpret, res, g):
 sa_group_feats_pallas.defvjp(_sa_group_feats_fwd, _sa_group_feats_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused shared-MLP + max-pool: the compute stage of set abstraction
+# (`models/pointnet_pp.py:39-43`) as ONE kernel over the grouped tensor.
+# BatchNorm is pre-folded into per-layer (scale, shift) by the caller
+# (running stats in eval; differentiable ghost stats in train — see
+# models/layers.py), so the kernel is pure matmul/affine/relu/max work and
+# no per-layer activation ever leaves VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _sa_mlp_fwd_compute(g_ref, layer_refs, *, bf16: bool):
+    """Shared forward recompute: returns (acts, pooled) where acts[l] is the
+    post-relu activation of layer l as a (K*S, C_l) array. g_ref block is
+    (K, S, C) neighbor-major (the fused grouping kernel's native layout)."""
+    K, S, C = g_ref.shape
+    x = g_ref[:, :, :].reshape(K * S, C)
+    pre, post = [], []
+    for w_ref, s_ref, t_ref in layer_refs:
+        w = w_ref[:, :]
+        if bf16:
+            z = jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            z = jax.lax.dot_general(
+                x,
+                w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        y = z * s_ref[0, :][None, :] + t_ref[0, :][None, :]
+        x = jnp.maximum(y, 0.0)
+        pre.append((z, y))
+        post.append(x)
+    pooled = jnp.max(post[-1].reshape(K, S, post[-1].shape[-1]), axis=0)
+    return pre, post, pooled
+
+
+def _sa_mlp_max_fwd_kernel(*refs, n_layers: int, bf16: bool):
+    g_ref = refs[0]
+    layer_refs = [tuple(refs[1 + 3 * l : 4 + 3 * l]) for l in range(n_layers)]
+    out_ref = refs[1 + 3 * n_layers]
+    _, _, pooled = _sa_mlp_fwd_compute(g_ref, layer_refs, bf16=bf16)
+    out_ref[:, :] = pooled
+
+
+def _sa_mlp_max_bwd_kernel(*refs, n_layers: int, bf16: bool):
+    """Recompute-in-VMEM backward. Inputs: grouped, (w,s,t)*L, dpooled.
+    Outputs: dgrouped (K,S,C) and per-cell partials dw_l (Cin,Cout),
+    ds_l (1,Cout), dt_l (1,Cout) — summed over the batch grid by the caller.
+
+    Max-pool ties split the cotangent evenly (jnp.max VJP semantics, so
+    gradients match the unfused XLA path bitwise-modulo-matmul-order)."""
+    g_ref = refs[0]
+    layer_refs = [tuple(refs[1 + 3 * l : 4 + 3 * l]) for l in range(n_layers)]
+    dpool_ref = refs[1 + 3 * n_layers]
+    dg_ref = refs[2 + 3 * n_layers]
+    grad_refs = [
+        tuple(refs[3 + 3 * n_layers + 3 * l : 6 + 3 * n_layers + 3 * l])
+        for l in range(n_layers)
+    ]
+
+    K, S, C = g_ref.shape
+    pre, post, pooled = _sa_mlp_fwd_compute(g_ref, layer_refs, bf16=bf16)
+
+    a_last = post[-1].reshape(K, S, post[-1].shape[-1])
+    ties = (a_last == pooled[None, :, :]).astype(jnp.float32)
+    cnt = jnp.sum(ties, axis=0, keepdims=True)
+    da = ties * (dpool_ref[:, :] / cnt[0])[None, :, :]
+    da = da.reshape(K * S, a_last.shape[-1])
+
+    def mm(a, b, contract):
+        if bf16:
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                dimension_numbers=(contract, ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    for l in range(n_layers - 1, -1, -1):
+        z, y = pre[l]
+        w_ref, s_ref, _ = layer_refs[l]
+        dw_ref, ds_ref, dt_ref = grad_refs[l]
+        dy = da * (y > 0.0).astype(jnp.float32)
+        ds_ref[0, :] = jnp.sum(dy * z, axis=0)
+        dt_ref[0, :] = jnp.sum(dy, axis=0)
+        dz = dy * s_ref[0, :][None, :]
+        a_in = post[l - 1] if l > 0 else g_ref[:, :, :].reshape(K * S, C)
+        dw_ref[:, :] = mm(a_in, dz, ((0,), (0,)))  # (Cin, Cout)
+        da = mm(dz, w_ref[:, :], ((1,), (1,)))  # (rows, Cin)
+    dg_ref[:, :, :] = da.reshape(K, S, C)
+
+
+def _replicated_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _sa_mlp_layer_inputs(layers):
+    """Flatten [(W, scale, shift), ...] into kernel inputs with scale/shift
+    reshaped to (1, C) rows, plus their specs."""
+    arrs, specs = [], []
+    for w, s, t in layers:
+        arrs += [w.astype(jnp.float32), s.reshape(1, -1).astype(jnp.float32),
+                 t.reshape(1, -1).astype(jnp.float32)]
+        specs += [_replicated_spec(w.shape), _replicated_spec((1, w.shape[1])),
+                  _replicated_spec((1, w.shape[1]))]
+    return arrs, specs
+
+
+def _sa_mlp_max_fwd_impl(grouped, layers, bf16, interpret):
+    B, K, S, C = grouped.shape
+    n_layers = len(layers)
+    c_out = layers[-1][0].shape[1]
+    layer_arrs, layer_specs = _sa_mlp_layer_inputs(layers)
+    kernel = functools.partial(
+        _sa_mlp_max_fwd_kernel, n_layers=n_layers, bf16=bf16
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, K, S, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((None, S, c_out), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(grouped.astype(jnp.float32), *layer_arrs)
+
+
+def _sa_mlp_max_bwd_impl(grouped, layers, dpooled, bf16, interpret):
+    B, K, S, C = grouped.shape
+    n_layers = len(layers)
+    layer_arrs, layer_specs = _sa_mlp_layer_inputs(layers)
+    kernel = functools.partial(
+        _sa_mlp_max_bwd_kernel, n_layers=n_layers, bf16=bf16
+    )
+    out_specs = [
+        pl.BlockSpec((None, K, S, C), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((B, K, S, C), jnp.float32)]
+    for w, _, _ in layers:
+        cin, cout = w.shape
+        out_specs += [
+            pl.BlockSpec((None, cin, cout), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, cout), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, cout), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, cout), jnp.float32),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, K, S, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *layer_specs,
+            pl.BlockSpec((None, S, layers[-1][0].shape[1]),
+                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(grouped.astype(jnp.float32), *layer_arrs, dpooled.astype(jnp.float32))
+    dgrouped = outs[0]
+    dlayers = []
+    for l in range(n_layers):
+        dw = jnp.sum(outs[1 + 3 * l], axis=0)
+        ds = jnp.sum(outs[2 + 3 * l], axis=0)[0]
+        dt = jnp.sum(outs[3 + 3 * l], axis=0)[0]
+        dlayers.append((dw, ds, dt))
+    return dgrouped, dlayers
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sa_mlp_max_pallas(grouped, layers, bf16: bool = False,
+                      interpret: bool = False):
+    """Fused shared-MLP + neighbor max-pool (`models/pointnet_pp.py:39-43`).
+
+    Args:
+      grouped: ``(B, K, S, C)`` neighbor-major grouped features (the fused
+        grouping kernel's native layout).
+      layers: list of ``(W (Cin,Cout), scale (Cout,), shift (Cout,))`` with
+        Dense bias and BatchNorm pre-folded into scale/shift: each layer
+        computes ``relu((x @ W) * scale + shift)``.
+      bf16: run the matmuls as bf16 MXU passes with f32 accumulation
+        (matching ``nn.Dense(dtype=bfloat16)``); else exact HIGHEST f32.
+
+    Returns ``(B, S, C_last)`` f32. Differentiable in grouped and layers
+    (recompute-in-VMEM backward; max ties split evenly like jnp.max).
+    """
+    return _sa_mlp_max_fwd_impl(grouped, layers, bf16, interpret)
+
+
+def _sa_mlp_max_vjp_fwd(grouped, layers, bf16, interpret):
+    out = _sa_mlp_max_fwd_impl(grouped, layers, bf16, interpret)
+    return out, (grouped, layers)
+
+
+def _sa_mlp_max_vjp_bwd(bf16, interpret, res, g):
+    grouped, layers = res
+    dgrouped, dlayers = _sa_mlp_max_bwd_impl(grouped, layers, g, bf16, interpret)
+    return dgrouped, dlayers
+
+
+sa_mlp_max_pallas.defvjp(_sa_mlp_max_vjp_fwd, _sa_mlp_max_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
 def knn_gather_pallas(
     new_xyz: jax.Array,

@@ -214,3 +214,136 @@ def test_sample_and_group_fused_feats_path_matches(rng):
     np.testing.assert_allclose(
         np.asarray(got_grouped), np.asarray(ref_grouped), atol=1e-5
     )
+
+
+def test_sa_mlp_max_pallas_matches_and_grads(rng):
+    """Fused shared-MLP+max kernel vs jnp reference, values and all grads."""
+    from pointcloud_orientation_tpu.ops.pallas_kernels import sa_mlp_max_pallas
+
+    B, K, S, C = 3, 8, 16, 7
+    chans = [12, 10, 20]
+    g = jnp.asarray(rng.normal(size=(B, K, S, C)).astype(np.float32))
+    layers, cin = [], C
+    for c in chans:
+        layers.append(
+            (
+                jnp.asarray(rng.normal(size=(cin, c)).astype(np.float32) * 0.3),
+                jnp.asarray(rng.uniform(0.5, 1.5, size=c).astype(np.float32)),
+                jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1),
+            )
+        )
+        cin = c
+
+    def ref(g, layers):
+        x = g
+        for w, s, t in layers:
+            x = jnp.maximum(
+                jnp.einsum(
+                    "bksc,cd->bksd", x, w, precision=jax.lax.Precision.HIGHEST
+                )
+                * s
+                + t,
+                0.0,
+            )
+        return jnp.max(x, axis=1)
+
+    out_ref = ref(g, layers)
+    out_pal = sa_mlp_max_pallas(g, layers, False, True)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref), atol=1e-5)
+
+    gr = jax.grad(lambda g, l: jnp.sum(jnp.sin(ref(g, l))), argnums=(0, 1))(g, layers)
+    gp = jax.grad(
+        lambda g, l: jnp.sum(jnp.sin(sa_mlp_max_pallas(g, l, False, True))),
+        argnums=(0, 1),
+    )(g, layers)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=1e-4)
+    for lr, lp in zip(gr[1], gp[1]):
+        for a, b in zip(lr, lp):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-3
+            )
+
+
+def test_shared_mlp_fused_max_matches_unfused(rng):
+    """SharedMLP(fuse_max=True, ghost_stride=1): same params -> same pooled
+    output, running-stats updates, and param grads as the unfused module
+    (train mode; eval must be bitwise-equal via the running-stats fold)."""
+    from pointcloud_orientation_tpu.models.layers import SharedMLP
+
+    B, K, S, C = 4, 8, 16, 7
+    g_km = jnp.asarray(rng.normal(size=(B, K, S, C)).astype(np.float32))
+    g_sk = jnp.swapaxes(g_km, 1, 2)
+    unfused = SharedMLP((12, 10, 20))
+    fused = SharedMLP((12, 10, 20), fuse_max=True, ghost_stride=1)
+    v = unfused.init({"params": jax.random.PRNGKey(0)}, g_sk[:, :, :1])
+
+    out_u, mut_u = unfused.apply(v, g_sk, train=True, mutable=["batch_stats"])
+    out_f, mut_f = fused.apply(v, g_km, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(jnp.max(out_u, axis=2)), np.asarray(out_f), atol=1e-5
+    )
+    for i in range(3):
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut_f["batch_stats"][f"BatchNorm_{i}"][k]),
+                np.asarray(mut_u["batch_stats"][f"BatchNorm_{i}"][k]),
+                atol=1e-6,
+            )
+
+    out_ue = jnp.max(unfused.apply(v, g_sk, train=False), axis=2)
+    out_fe = fused.apply(v, g_km, train=False)
+    np.testing.assert_array_equal(np.asarray(out_ue), np.asarray(out_fe))
+
+    def loss_u(p):
+        o, _ = unfused.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            g_sk,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(jnp.sin(jnp.max(o, axis=2)))
+
+    def loss_f(p):
+        o, _ = fused.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            g_km,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(jnp.sin(o))
+
+    gu = jax.grad(loss_u)(v["params"])
+    gf = jax.grad(loss_f)(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4
+        ),
+        gu,
+        gf,
+    )
+
+
+def test_set_abstraction_fused_mlp_eval_matches(rng):
+    """'always' mode routes SetAbstraction through fused grouping AND the
+    fused MLP+max kernel; eval output must equal the pure-XLA path (the
+    running-stats fold is exact)."""
+    from pointcloud_orientation_tpu.models.layers import SetAbstraction
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    xyz = jnp.asarray(rng.normal(size=(3, 64, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(3, 64, 6)).astype(np.float32))
+    for sa in (
+        SetAbstraction(16, 8, (12, 10, 20)),
+        SetAbstraction(None, None, (8, 8, 16), group_all=True),
+    ):
+        v = sa.init({"params": jax.random.PRNGKey(0)}, xyz, pts)
+        ref_xyz, ref_pool = sa.apply(v, xyz, pts)
+        G.set_pallas_mode("always")
+        try:
+            got_xyz, got_pool = sa.apply(v, xyz, pts)
+        finally:
+            G.set_pallas_mode("auto")
+        np.testing.assert_array_equal(np.asarray(ref_xyz), np.asarray(got_xyz))
+        np.testing.assert_allclose(
+            np.asarray(got_pool), np.asarray(ref_pool), atol=1e-6
+        )

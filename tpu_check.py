@@ -134,6 +134,47 @@ def main() -> int:
         atol=1e-6,
     )
 
+    # fused shared-MLP + max-pool kernel at the sa1/sa2 trunk shapes, fwd+VJP
+    from pointcloud_orientation_tpu.ops.pallas_kernels import sa_mlp_max_pallas
+
+    for tag, (B, K, S, C, chans) in {
+        "sa1": (8, 32, 128, 3, (64, 64, 128)),
+        "sa2": (8, 32, 32, 131, (128, 128, 256)),
+    }.items():
+        kg = jax.random.PRNGKey(5)
+        g = jax.random.normal(kg, (B, K, S, C), jnp.float32)
+        layers, cin = [], C
+        for i, c in enumerate(chans):
+            wk, sk, tk = jax.random.split(jax.random.PRNGKey(10 + i), 3)
+            layers.append((
+                jax.random.normal(wk, (cin, c), jnp.float32) * 0.2,
+                jax.random.uniform(sk, (c,), jnp.float32, 0.5, 1.5),
+                jax.random.normal(tk, (c,), jnp.float32) * 0.1,
+            ))
+            cin = c
+
+        def mlp_ref(g, layers):
+            x = g
+            for w, s, t in layers:
+                z = jax.lax.dot_general(
+                    x, w, dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                x = jnp.maximum(z * s + t, 0.0)
+            return jnp.max(x, axis=1)
+
+        ok &= check(
+            f"sa_mlp_max fwd ({tag})",
+            sa_mlp_max_pallas(g, layers, False, False),
+            mlp_ref(g, layers),
+            exact=False, atol=1e-4, rtol=1e-5,
+        )
+        gp = jax.grad(lambda g: jnp.sum(jnp.sin(
+            sa_mlp_max_pallas(g, layers, False, False))))(g)
+        gr = jax.grad(lambda g: jnp.sum(jnp.sin(mlp_ref(g, layers))))(g)
+        ok &= check(f"sa_mlp_max VJP dgrouped ({tag})", gp, gr,
+                    exact=False, atol=1e-4, rtol=1e-4)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
