@@ -230,6 +230,13 @@ class PointNetPPMvM(nn.Module):
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # Robustness knobs (framework improvements; defaults = reference parity).
+    # The matched-MvM objective is bistable on K=2 categories: with the
+    # reference's zero-init all components start at the same mu, and once the
+    # mismatched component's weight shrinks its mu gradient (prop. to
+    # w * sin(dmu)) stalls at the 180-degree saddle — see RESULTS.md.
+    weight_floor: float = 0.0  # w = (1-f)*softmax + f/K keeps all gradients alive
+    mu_init: str = "zero"  # "spread": bias inits mu_k at angle 2*pi*k/K
 
     @nn.compact
     def __call__(
@@ -248,8 +255,23 @@ class PointNetPPMvM(nn.Module):
         zeros = nn.initializers.zeros
         logit_pi = nn.Dense(self.max_K, kernel_init=zeros, name="head_pi")(feat)
         weight = nn.softmax(logit_pi / self.temp, axis=-1)
+        if self.weight_floor:
+            f = self.weight_floor
+            weight = (1.0 - f) * weight + f / self.max_K
 
-        mu_raw = nn.Dense(self.max_K * 2, kernel_init=zeros, name="head_mu")(feat)
+        if self.mu_init == "spread":
+            import numpy as _np
+
+            angles = 2.0 * _np.pi * _np.arange(self.max_K) / self.max_K
+            spread = _np.stack([_np.cos(angles), _np.sin(angles)], -1).reshape(-1)
+
+            def mu_bias_init(key, shape, dtype=jnp.float32):
+                return jnp.asarray(spread, dtype)
+
+        else:
+            mu_bias_init = zeros
+        mu_raw = nn.Dense(self.max_K * 2, kernel_init=zeros,
+                          bias_init=mu_bias_init, name="head_mu")(feat)
         mu_raw = mu_raw.reshape(-1, self.max_K, 2)
         # safe norm: gradient defined (0) at the zero-init point
         sq = jnp.sum(mu_raw * mu_raw, axis=-1, keepdims=True)

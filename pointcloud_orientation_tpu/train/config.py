@@ -50,6 +50,8 @@ class TrainConfig:
     max_k: int = 4
     # framework improvements over the reference (0/"tanh" = exact parity)
     mvm_unmatched_penalty: float = 0.0  # guard vs the weight-collapse minimum
+    mvm_weight_floor: float = 0.0  # w = (1-f)*softmax + f/K (anti-collapse)
+    mvm_mu_init: str = "zero"  # "spread" = init component mus around the circle
     vm_mu_parameterization: str = "tanh"  # "atan2" = wrap-free mu head
     # runtime
     out_dir: str = "results"
@@ -123,6 +125,15 @@ PRESETS = {
         task="mvm", model="pointnet_pp_mvm", rotation_mode="yaw",
         classes=MVM_CLASSES, epochs=100, grad_clip=1.0, num_points=10_000,
         mvm_unmatched_penalty=1.0,
+    ),
+    # Anti-collapse MvM (framework improvement): weight floor keeps every
+    # component's mu gradient alive and the spread init breaks the all-mus-
+    # equal symmetry of the reference's zero-init; objective itself stays the
+    # parity matched KL. See RESULTS.md "bistability".
+    "mvm_robust": _p(
+        task="mvm", model="pointnet_pp_mvm", rotation_mode="yaw",
+        classes=MVM_CLASSES, epochs=100, grad_clip=1.0, num_points=10_000,
+        mvm_weight_floor=0.1, mvm_mu_init="spread",
     ),
     # train_multi_peaks_vonMises_KL.py — matched MvM KL, 12 categories,
     # 100 epochs, grad clip 1.0.

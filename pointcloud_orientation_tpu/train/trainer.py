@@ -120,6 +120,8 @@ class Trainer:
             kwargs["bn_axis_name"] = cfg.bn_sync_axis
         if cfg.model == "pointnet_pp_mvm":
             kwargs["max_K"] = cfg.max_k
+            kwargs["weight_floor"] = cfg.mvm_weight_floor
+            kwargs["mu_init"] = cfg.mvm_mu_init
         if cfg.model == "pointnet_pp_von_mises":
             kwargs["mu_parameterization"] = cfg.vm_mu_parameterization
         if cfg.compute_dtype and "dtype" in fields:

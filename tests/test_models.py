@@ -184,3 +184,28 @@ def test_von_mises_atan2_parameterization(cloud):
         return jnp.sum(m ** 2) + jnp.sum(k)
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_mvm_robustness_knobs(rng):
+    """weight_floor bounds every mixture weight below by f/K and mu_init=
+    'spread' breaks the all-components-equal zero-init symmetry (the
+    bistable-collapse mitigations; defaults keep exact reference parity)."""
+    import numpy as np
+
+    from pointcloud_orientation_tpu.models import PointNetPPMvM
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    m = PointNetPPMvM(weight_floor=0.1, mu_init="spread")
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    mu, kappa, w = m.apply(v, x)
+    assert float(jnp.min(w)) >= 0.1 / 4 - 1e-6
+    np.testing.assert_allclose(
+        np.asarray(mu[0]),
+        [0.0, np.pi / 2, np.pi, -np.pi / 2],
+        atol=1e-5,
+    )
+    # default = parity: all components at the degenerate-fallback angle 0
+    m0 = PointNetPPMvM()
+    v0 = m0.init({"params": jax.random.PRNGKey(0)}, x)
+    mu0, _, _ = m0.apply(v0, x)
+    np.testing.assert_array_equal(np.asarray(mu0), 0.0)
