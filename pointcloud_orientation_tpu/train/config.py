@@ -126,6 +126,16 @@ PRESETS = {
         classes=MVM_CLASSES, epochs=100, grad_clip=1.0, num_points=10_000,
         mvm_unmatched_penalty=1.0,
     ),
+    # Spread-mu-init MvM: the SAME parity matched-KL objective, only the
+    # head init changes (component mus start spread around the circle
+    # instead of the reference's all-zero init). Eliminates the seed
+    # bistability: test KL 0.0006-0.019 over seeds 42-44 vs the reference's
+    # published 0.0777 (RESULTS.md "bistability").
+    "mvm_spread": _p(
+        task="mvm", model="pointnet_pp_mvm", rotation_mode="yaw",
+        classes=MVM_CLASSES, epochs=100, grad_clip=1.0, num_points=10_000,
+        mvm_mu_init="spread",
+    ),
     # Anti-collapse MvM (framework improvement): weight floor keeps every
     # component's mu gradient alive and the spread init breaks the all-mus-
     # equal symmetry of the reference's zero-init; objective itself stays the

@@ -83,6 +83,13 @@ def test_presets_invariants():
     # overrides don't mutate the preset
     a = preset("8dir_kl", epochs=5)
     assert a.epochs == 5 and PRESETS["8dir_kl"].epochs == 200
+    # mvm_spread changes ONLY the init relative to the parity preset
+    # (RESULTS.md bistability study): objective knobs stay at parity values
+    sp, par = PRESETS["mvm_spread"], PRESETS["mvm"]
+    assert sp.mvm_mu_init == "spread" and par.mvm_mu_init == "zero"
+    assert sp.mvm_weight_floor == 0.0 == par.mvm_weight_floor
+    assert sp.mvm_unmatched_penalty == 0.0 == par.mvm_unmatched_penalty
+    assert sp.replace(mvm_mu_init="zero") == par
 
 
 def test_cli_mesh_flag(tmp_path):
