@@ -120,6 +120,53 @@ def _radix_count_kernel(d_ref, o_ref, scratch):
     o_ref[0, :] = prefix[:, 0]
 
 
+def _count_emit_kernel(d_ref, o_ref, scratch):
+    """Full threshold-count alternative: 31 radix count passes to find the
+    per-row K-th distance, then tie-resolution + index emission WITHOUT
+    argmin passes — rank via cumsum (log2(N) shifted adds) and a chunked
+    one-hot contraction over K output slots. Emits lane-order indices (the
+    fused-SA consumer max-pools, so neighbor order is irrelevant)."""
+    S_, N_ = scratch.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S_, N_), 1)
+    bits = pltpu.bitcast(d_ref[:, :], jnp.int32)
+    scratch[:, :] = bits.astype(jnp.float32) * 0
+    prefix = jnp.zeros((S_, 1), jnp.int32)
+    for b in range(30, -1, -1):
+        cand = prefix | (1 << b)
+        cnt = jnp.sum((bits < cand).astype(jnp.float32), axis=1, keepdims=True)
+        prefix = jnp.where(cnt >= float(K), prefix, cand)
+    # mask: all strictly-below plus first (K - n_below) ties in lane order
+    below = bits < prefix
+    n_below = jnp.sum(below.astype(jnp.float32), axis=1, keepdims=True)
+    eq = bits == prefix
+    # cumulative count along lanes via log2(N) shifted adds
+    cum = eq.astype(jnp.float32)
+    shift = 1
+    while shift < N_:
+        shifted = jnp.pad(cum, ((0, 0), (shift, 0)))[:, :N_]
+        cum = cum + shifted
+        shift *= 2
+    mask = below | (eq & (cum <= (float(K) - n_below)))
+    # rank among selected (lane order), same cumulative trick
+    r = mask.astype(jnp.float32)
+    shift = 1
+    while shift < N_:
+        shifted = jnp.pad(r, ((0, 0), (shift, 0)))[:, :N_]
+        r = r + shifted
+        shift *= 2
+    r = jnp.where(mask, r, 0.0)  # 1..K on selected lanes, 0 elsewhere
+    # emission: chunked one-hot contraction over the K output slots
+    CH = 256
+    acc = jnp.zeros((K, S_), jnp.float32)
+    slot = jax.lax.broadcasted_iota(jnp.float32, (K, S_, CH), 0) + 1.0
+    for start in range(0, N_, CH):
+        rs = r[:, start : start + CH]  # (S, CH)
+        ls = lane[:, start : start + CH].astype(jnp.float32)
+        onehot = (slot == rs[None, :, :]).astype(jnp.float32)  # (K,S,CH)
+        acc = acc + jnp.sum(onehot * ls[None, :, :], axis=2)
+    o_ref[:, :] = acc.astype(jnp.int32)
+
+
 def sel(kernel, name, out_shape):
     d = jax.random.uniform(jax.random.PRNGKey(0), (B, S, N), jnp.float32)
 
@@ -145,7 +192,12 @@ def sel(kernel, name, out_shape):
 if __name__ == "__main__":
     print(f"B={B} S={S} N={N} K={K} backend={jax.default_backend()}")
     for dt in (jnp.float32, jnp.bfloat16, jnp.int16):
-        ew(dt)
+        try:
+            ew(dt)
+        except Exception as e:  # Mosaic can't legalize some i16 vector ops
+            print(f"elementwise {jnp.dtype(dt).name}: unsupported "
+                  f"({type(e).__name__})")
     sel(_sel_argmin_kernel, "select: argmin loop (K passes)", (K, S))
     sel(_sel_mintie_kernel, "select: min+tie-break loop (K passes)", (K, S))
     sel(_radix_count_kernel, "select: 31 radix count passes (no emit)", (1, S))
+    sel(_count_emit_kernel, "select: count + cumsum-rank + onehot emit", (K, S))

@@ -152,8 +152,14 @@ class SetAbstraction(nn.Module):
         # Fused compute stage: shared-MLP + neighbor max-pool as one Pallas
         # kernel over the neighbor-major grouped tensor (no per-layer
         # activation traffic). Per-device BatchNorm only; the param tree is
-        # identical either way (see SharedMLP.fuse_max).
-        fused_mlp = G.fused_mlp_eligible() and self.bn_axis_name is None
+        # identical either way (see SharedMLP.fuse_max). Measured A/B at the
+        # bench shape (benchmarks/profile_ab_modes.py, B=64 N=1024 bf16):
+        # the fused kernel wins in eval (running-stats BN folds exactly)
+        # but LOSES in train (ghost-stats side pass + recompute backward:
+        # 3.01 vs 2.78 ms/step), so dispatch is eval-only by default —
+        # which also keeps train-mode BatchNorm statistics bitwise-exact
+        # reference semantics. PCOT_FUSED_MLP=1 forces it on in train.
+        fused_mlp = G.fused_mlp_eligible(train) and self.bn_axis_name is None
         if self.group_all:
             new_xyz, grouped = G.group_all(xyz, points)
             if fused_mlp:

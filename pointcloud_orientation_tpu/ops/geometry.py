@@ -90,15 +90,25 @@ def _fused_group_eligible(n: int) -> bool:
     return jax.default_backend() == "tpu" and n >= 128
 
 
-def fused_mlp_eligible() -> bool:
+def fused_mlp_eligible(train: bool = False) -> bool:
     """Whether the fused shared-MLP+max kernel should carry the SA compute
     stage (see :func:`..ops.pallas_kernels.sa_mlp_max_pallas`).
-    ``PCOT_FUSED_MLP=0`` disables it independently of the pallas mode."""
+
+    Default policy is EVAL-ONLY: the eval fold of running-stats BatchNorm
+    into per-layer scale/shift is exact and measured faster, while in train
+    the ghost-stats side pass + recompute backward lose to XLA's fused MLP
+    (benchmarks/profile_ab_modes.py: 3.01 vs 2.78 ms/step at B=64 N=1024).
+    ``PCOT_FUSED_MLP=0`` disables everywhere; ``=1`` forces it on in train
+    too (benchmarking).
+    """
     import os
 
-    if os.environ.get("PCOT_FUSED_MLP") == "0":
+    env = os.environ.get("PCOT_FUSED_MLP")
+    if env == "0":
         return False
     if _PALLAS_MODE == "never":
+        return False
+    if train and env != "1" and _PALLAS_MODE != "always":
         return False
     if _PALLAS_MODE == "always":
         return True
