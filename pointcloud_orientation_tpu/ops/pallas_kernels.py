@@ -143,6 +143,10 @@ def _knn_kernel(new_xyz_ref, xyz_ref, out_ref, dist_ref):
 
     def body(j, _):
         d = dist_ref[:, :]
+        # NOTE argmin kept on purpose: min+tie-break-min wins in a selection-
+        # only microbenchmark (profile_vpu_select.py: 1.53 vs 2.25 ms) but
+        # LOSES end-to-end inside the real kernels (bench 18.0k vs 19.2k
+        # clouds/s) — the interleaved stores/extraction hide argmin's cost.
         idx = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,)
         out_ref[:, :] = jnp.where(out_cols == j, idx[:, None], out_ref[:, :])
         taken = col_ids == idx[:, None]
@@ -413,6 +417,7 @@ def _knn_gather_kernel(new_xyz_ref, xyz_ref, idx_ref, gx_ref, gy_ref, gz_ref,
 
     def body(j, _):
         d = dist_ref[:, :]
+        # argmin kept: wins end-to-end vs min+tie-break (see _knn_kernel note)
         idx = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,)
         taken = col_ids == idx[:, None]  # (S, N) one-hot
         sel = jnp.where(out_cols == j, idx[:, None], idx_ref[:, :])
@@ -506,6 +511,7 @@ def _sa_group_kernel(cidx_ref, xyz_t_ref, pts_ref, newxyz_ref, grouped_ref,
 
     for k in range(K):  # static unroll: every store has a static index
         d = dist_ref[:, :]
+        # argmin kept: wins end-to-end vs min+tie-break (see _knn_kernel note)
         col = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,) first-min
         idx_ref[k, :] = col
         taken = lane_n == col[:, None]  # (S, N) exact one-hot
