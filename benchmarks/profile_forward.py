@@ -1,4 +1,9 @@
-"""Stage-by-stage timing of the PointNet++ forward at the reference's
+"""SUPERSEDED (round 2): measures block_until_ready timing, inflated on this remote TPU; its numbers do NOT
+reflect the shipped pipeline. Use profile_ab_modes.py /
+profile_step_r2.py (live-carry timing rule, CLAUDE.md) or
+bench.py for decisions.
+
+Stage-by-stage timing of the PointNet++ forward at the reference's
 canonical shape (B=16, N=10,000) to direct kernel work.
 
     python benchmarks/profile_forward.py

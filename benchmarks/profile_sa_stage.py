@@ -1,4 +1,9 @@
-"""Stage-level timing of the flagship train step on the real TPU.
+"""SUPERSEDED (round 2): measures round-1 dispatch; its numbers do NOT
+reflect the shipped pipeline. Use profile_ab_modes.py /
+profile_step_r2.py (live-carry timing rule, CLAUDE.md) or
+bench.py for decisions.
+
+Stage-level timing of the flagship train step on the real TPU.
 
 Times (value-fetch-synced, scan-amortized — see CLAUDE.md on
 block_until_ready):

@@ -1,4 +1,9 @@
-"""Measure neighbor-selection + gather primitive costs at the SA shapes.
+"""SUPERSEDED (round 2): measures round-1 selection variants; its numbers do NOT
+reflect the shipped pipeline. Use profile_ab_modes.py /
+profile_step_r2.py (live-carry timing rule, CLAUDE.md) or
+bench.py for decisions.
+
+Measure neighbor-selection + gather primitive costs at the SA shapes.
 
 Compares the Pallas kernels against XLA's native top_k / approx_min_k
 (TPU PartialReduce) and gather formulations to pick the fastest exact and

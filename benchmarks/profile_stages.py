@@ -1,4 +1,9 @@
-"""Stage-level timing of the PointNet++ forward at the bench shape.
+"""SUPERSEDED (round 2): measures round-1 components (pre-fused dispatch); its numbers do NOT
+reflect the shipped pipeline. Use profile_ab_modes.py /
+profile_step_r2.py (live-carry timing rule, CLAUDE.md) or
+bench.py for decisions.
+
+Stage-level timing of the PointNet++ forward at the bench shape.
 
 Times each pipeline stage in isolation with device-side scan loops and
 value-fetch sync (block_until_ready does not wait for remote TPU compute in
