@@ -156,6 +156,35 @@ def test_sa_group_coords_pallas_matches(rng):
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(expect), atol=1e-5)
 
 
+def test_sa_group_deferred_equals_interleaved(rng):
+    """PCOT_SA_DEFER=1 (default, deferred one-shot extraction) and =0
+    (per-pass interleaved extraction) are exactly interchangeable."""
+    import os
+
+    from pointcloud_orientation_tpu.ops.pallas_kernels import sa_group_coords_pallas
+
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    # duplicated points force exact distance ties through both paths
+    xyz = xyz.at[:, 100].set(xyz[:, 50])
+    cidx = jnp.asarray(rng.choice(256, size=(2, 24), replace=False).astype(np.int32))
+
+    prev = os.environ.get("PCOT_SA_DEFER")
+    try:
+        os.environ["PCOT_SA_DEFER"] = "1"
+        out_d = sa_group_coords_pallas(xyz, cidx, 8, interpret=True)
+        jax.clear_caches()  # kernels capture the env at trace time
+        os.environ["PCOT_SA_DEFER"] = "0"
+        out_i = sa_group_coords_pallas(xyz, cidx, 8, interpret=True)
+    finally:
+        if prev is None:
+            os.environ.pop("PCOT_SA_DEFER", None)
+        else:
+            os.environ["PCOT_SA_DEFER"] = prev
+        jax.clear_caches()
+    for a, b in zip(out_d, out_i):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sa_group_feats_pallas_matches_and_grads(rng):
     from pointcloud_orientation_tpu.ops import index_points, knn_query
     from pointcloud_orientation_tpu.ops.pallas_kernels import sa_group_feats_pallas
