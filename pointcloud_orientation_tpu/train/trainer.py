@@ -366,11 +366,14 @@ class Trainer:
         per-label protocol runs (the reference pays the same shape of cost
         per batch, `train.py:177`)."""
         train_epoch, eval_epoch = self._train_epoch, self._eval_epoch
-        seed = self.cfg.seed
 
+        # the seed rides in as a TRACED argument (not a closed-over Python
+        # constant) so the compiled HLO is seed-independent: seed sweeps hit
+        # the in-process jit cache and the persistent TPU compile cache
+        # instead of paying a multi-minute recompile per seed
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_block(carry, tr_res, va_res, tr_idx, tr_valid, va_idx,
-                      va_valid, epoch_nums):
+                      va_valid, epoch_nums, seed):
             eval_key = jax.random.PRNGKey(seed * 104729 + 17)
 
             def body(c, xs):
@@ -432,6 +435,7 @@ class Trainer:
                 carry, tr_res, va_res,
                 jnp.stack(tr_idx), jnp.stack(tr_valid),
                 va_idx, va_valid, jnp.asarray(nums, jnp.int32),
+                jnp.int32(cfg.seed),
             )
             tper, tang, tlab, vper, vang, vlab = (np.asarray(x) for x in stacked)
             dt = time.perf_counter() - t0
