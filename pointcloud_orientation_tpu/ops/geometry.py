@@ -17,6 +17,7 @@ control flow.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -101,8 +102,6 @@ def fused_mlp_eligible(train: bool = False) -> bool:
     ``PCOT_FUSED_MLP=0`` disables everywhere; ``=1`` forces it on in train
     too (benchmarking).
     """
-    import os
-
     env = os.environ.get("PCOT_FUSED_MLP")
     if env == "0":
         return False

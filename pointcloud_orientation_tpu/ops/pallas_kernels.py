@@ -23,6 +23,7 @@ kernel on TPU for large shapes and fall back to jnp elsewhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -508,8 +509,6 @@ def _sa_group_kernel(cidx_ref, xyz_t_ref, pts_ref, newxyz_ref, grouped_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    import os
 
     if os.environ.get("PCOT_SA_DEFER", "1") != "0":
         # DEFAULT: lean selection passes (indices only), then ONE batched
