@@ -54,13 +54,16 @@ class PointNetPP(nn.Module):
 class PointNetPPXYZ(nn.Module):
     """Two-axis regression: ``head_x`` and ``head_y``, each L2-normalized.
 
-    Parity: `models/Pointnet_pp_xyz.py:47-90`.
+    Parity: `models/Pointnet_pp_xyz.py:47-90`. ``normalize_heads=False``
+    reproduces the reference's no-L2-norm ablation
+    (`results/without_l2_norm/summary.txt`).
     """
 
     sampling: str = "random"
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    normalize_heads: bool = True
 
     @nn.compact
     def __call__(
@@ -72,8 +75,9 @@ class PointNetPPXYZ(nn.Module):
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )(xyz, train=train)
-        v1 = _l2_normalize(nn.Dense(3, name="head_x")(feat))
-        v2 = _l2_normalize(nn.Dense(3, name="head_y")(feat))
+        norm = _l2_normalize if self.normalize_heads else (lambda x: x)
+        v1 = norm(nn.Dense(3, name="head_x")(feat))
+        v2 = norm(nn.Dense(3, name="head_y")(feat))
         return v1, v2
 
 
@@ -93,6 +97,9 @@ class PointNetPPXYZSchmidt(nn.Module):
     grouping: str = "knn"
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # False = the reference's no-L2-norm ablation
+    # (`results/without_l2_norm/summary.txt`): raw dense head outputs
+    normalize_heads: bool = True
 
     @nn.compact
     def __call__(
@@ -104,8 +111,9 @@ class PointNetPPXYZSchmidt(nn.Module):
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )(xyz, train=train)
-        v2 = _l2_normalize(nn.Dense(3, name="head_y")(feat))  # up
-        v3 = _l2_normalize(nn.Dense(3, name="head_z")(feat))  # forward
+        norm = _l2_normalize if self.normalize_heads else (lambda x: x)
+        v2 = norm(nn.Dense(3, name="head_y")(feat))  # up
+        v3 = norm(nn.Dense(3, name="head_z")(feat))  # forward
         if self.gram_schmidt:
             e3 = v3
             u2 = v2 - jnp.sum(v2 * e3, axis=-1, keepdims=True) * e3

@@ -45,6 +45,10 @@ class TrainConfig:
     seed: int = 42
     grad_clip: Optional[float] = None
     lambda_orth: float = 0.1
+    # axes-task ablation knobs (reference: results/chair_schemit,
+    # results/without_l2_norm)
+    axes_gram_schmidt: bool = False  # orthogonalize up against forward
+    axes_normalize_heads: bool = True  # False = no-L2-norm ablation
     # distribution heads
     kappa_default: float = 8.0
     max_k: int = 4

@@ -124,6 +124,10 @@ class Trainer:
             kwargs["mu_init"] = cfg.mvm_mu_init
         if cfg.model == "pointnet_pp_von_mises":
             kwargs["mu_parameterization"] = cfg.vm_mu_parameterization
+        if "gram_schmidt" in fields:
+            kwargs["gram_schmidt"] = cfg.axes_gram_schmidt
+        if "normalize_heads" in fields:
+            kwargs["normalize_heads"] = cfg.axes_normalize_heads
         if cfg.compute_dtype and "dtype" in fields:
             kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
         return model_cls(**kwargs)

@@ -80,6 +80,28 @@ def test_pointnet_pp_xyz(cloud):
         np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0, rtol=1e-4)
 
 
+def test_pointnet_pp_xyz_no_l2_norm_ablation(cloud):
+    """normalize_heads=False reproduces the reference's without_l2_norm
+    ablation: raw (non-unit) head outputs. Config plumbing via
+    axes_normalize_heads is pinned too."""
+    (v1, v2), _ = _init_and_apply(PointNetPPXYZ(normalize_heads=False), cloud)
+    norms = np.linalg.norm(np.asarray(jnp.concatenate([v1, v2], 0)), axis=-1)
+    assert np.abs(norms - 1.0).max() > 1e-3  # raw dense outputs, not unit
+
+    from pointcloud_orientation_tpu.train import Trainer, preset
+    from pointcloud_orientation_tpu.data import OrientationDataset
+
+    cfg = preset("axes_all_labels").replace(
+        classes=("chair",), per_label=False, num_points=256,
+        axes_normalize_heads=False, axes_gram_schmidt=True,
+    )
+    ds = OrientationDataset.synthetic(
+        samples_per_class=8, num_points=256, class_names=["chair"]
+    )
+    model = Trainer(cfg, ds).model
+    assert model.normalize_heads is False and model.gram_schmidt is True
+
+
 def test_pointnet_pp_xyz_schmidt_orthogonal(cloud):
     (v2, v3), _ = _init_and_apply(PointNetPPXYZSchmidt(gram_schmidt=True), cloud)
     dots = np.sum(np.asarray(v2) * np.asarray(v3), axis=-1)
