@@ -96,6 +96,38 @@ def test_per_label_runner(ds, tmp_path):
     assert (tmp_path / "labels" / "chair" / "loss_curve.png").exists()
 
 
+def test_per_label_runner_resume_skips_completed(ds, tmp_path):
+    """resume=True skips labels whose metrics.json records a completed run
+    at the same epoch budget (this carried two interrupted 40-label
+    protocol runs); an incomplete or budget-mismatched label re-runs."""
+    import json
+
+    from pointcloud_orientation_tpu.train.run import run_per_label
+
+    cfg = preset("axes_all_labels").replace(
+        num_points=128, batch_size=8, epochs=1, per_label=True
+    )
+    sub = ds.select_classes(["chair", "sofa"])
+    out = tmp_path / "labels"
+    first = run_per_label(cfg, sub, str(out))
+
+    # tamper with sofa's record so only chair counts as completed:
+    # completion = full val history at this budget (run.py::_completed_best_val)
+    sofa_metrics = out / "sofa" / "metrics.json"
+    m = json.loads(sofa_metrics.read_text())
+    m["history"]["val"] = []  # interrupted-looking run -> must re-run
+    sofa_metrics.write_text(json.dumps(m))
+    chair_mtime = (out / "chair" / "metrics.json").stat().st_mtime
+
+    second = run_per_label(cfg, sub, str(out), resume=True)
+    assert second["chair"] == pytest.approx(first["chair"])
+    # chair skipped (not rewritten), sofa re-ran (full history restored)
+    assert (out / "chair" / "metrics.json").stat().st_mtime == chair_mtime
+    assert len(json.loads(sofa_metrics.read_text())["history"]["val"]) == 1
+    text = (out / "summary.txt").read_text()
+    assert "chair" in text and "sofa" in text
+
+
 def test_dp_global_batch_invariance_across_mesh_sizes(ds):
     """The same global-batch training step is invariant to the data-mesh
     size (VERDICT r1 item 8): under jit+GSPMD all reductions (loss mean,
