@@ -14,6 +14,8 @@ over ICI.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -24,12 +26,17 @@ class TransformerEncoderLayer(nn.Module):
 
     ``x = LN1(x + drop(SelfAttn(x)))``;
     ``x = LN2(x + drop(W2 drop(relu(W1 x))))``.
+
+    ``dtype`` is the computation dtype (params stay f32): bf16 halves the
+    HBM traffic of the O(N^2) score/attention tensors — the single-chip
+    long-context bottleneck (RESULTS.md).
     """
 
     embed_dim: int
     num_heads: int
     ffn_dim: int = 2048
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -39,12 +46,17 @@ class TransformerEncoderLayer(nn.Module):
             out_features=self.embed_dim,
             dropout_rate=self.dropout,
             deterministic=not train,
+            dtype=self.dtype,
         )(x, x)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(attn, deterministic=not train))
-        h = nn.relu(nn.Dense(self.ffn_dim)(x))
+        x = nn.LayerNorm(dtype=self.dtype)(
+            x + nn.Dropout(self.dropout)(attn, deterministic=not train)
+        )
+        h = nn.relu(nn.Dense(self.ffn_dim, dtype=self.dtype)(x))
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        h = nn.Dense(self.embed_dim)(h)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(h, deterministic=not train))
+        h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
+        x = nn.LayerNorm(dtype=self.dtype)(
+            x + nn.Dropout(self.dropout)(h, deterministic=not train)
+        )
         return x
 
 
@@ -59,10 +71,11 @@ class PointTransformer(nn.Module):
     dropout: float = 0.1
     remat: bool = False  # rematerialize each layer: O(depth) -> O(1)
     # activation memory for the backward pass, enabling very large N
+    dtype: Optional[jnp.dtype] = None  # computation dtype (params f32)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Dense(self.embed_dim)(x)  # (B, N, E)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype)(x)  # (B, N, E)
         layer_cls = (
             nn.remat(TransformerEncoderLayer, static_argnums=(2,))
             if self.remat
@@ -72,7 +85,8 @@ class PointTransformer(nn.Module):
             # explicit names keep the param tree identical with/without remat
             h = layer_cls(
                 self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
+                dtype=self.dtype,
                 name=f"TransformerEncoderLayer_{i}",
             )(h, train)
-        h = jnp.mean(h, axis=1)  # (B, E)
+        h = jnp.mean(h.astype(jnp.float32), axis=1)  # (B, E)
         return nn.Dense(3)(h)
