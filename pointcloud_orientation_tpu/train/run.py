@@ -249,13 +249,18 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--classes", default=None, help="comma-separated override")
+    ap.add_argument(
+        "--compute-dtype", default=None, dest="compute_dtype",
+        help="trunk computation dtype, e.g. bfloat16 (params/heads stay f32)",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
     ap.add_argument("--debug-checks", action="store_true")
     args = ap.parse_args(argv)
 
     overrides = {}
-    for field in ("epochs", "batch_size", "num_points", "lr", "seed", "checkpoint_every"):
+    for field in ("epochs", "batch_size", "num_points", "lr", "seed",
+                  "checkpoint_every", "compute_dtype"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v
