@@ -21,6 +21,32 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _flash_attention_fn(query, key, value, bias=None, mask=None,
+                        broadcast_dropout=True, dropout_rng=None,
+                        dropout_rate=0.0, deterministic=False, dtype=None,
+                        precision=None, **_):
+    """Drop-in ``attention_fn`` for flax MHA backed by the Pallas TPU
+    blockwise (flash) kernel: the O(N^2) score tensor lives only in VMEM
+    tiles, never in HBM. Same q/k/v/out parameter tree as the default
+    backend, so checkpoints/torch imports are interchangeable.
+
+    Differences from the default backend (opt-in fast path, documented):
+    attention-probability dropout is not applied (flash has no prob-dropout;
+    residual/FFN dropout still apply), and bias/mask are unsupported (the
+    point transformer uses neither).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    assert bias is None and mask is None, "flash path supports no bias/mask"
+    d = query.shape[-1]
+    compute = dtype or query.dtype
+    q = jnp.swapaxes(query, 1, 2).astype(compute)  # (B, H, N, D)
+    k = jnp.swapaxes(key, 1, 2).astype(compute)
+    v = jnp.swapaxes(value, 1, 2).astype(compute)
+    out = flash_attention(q, k, v, sm_scale=1.0 / (d ** 0.5))
+    return jnp.swapaxes(out, 1, 2).astype(compute)  # (B, N, H, D)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-norm transformer encoder layer with torch-default structure:
 
@@ -37,9 +63,13 @@ class TransformerEncoderLayer(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    attention_impl: str = "xla"  # "flash" = Pallas TPU blockwise attention
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        attn_kwargs = {}
+        if self.attention_impl == "flash":
+            attn_kwargs["attention_fn"] = _flash_attention_fn
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.embed_dim,
@@ -47,6 +77,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout,
             deterministic=not train,
             dtype=self.dtype,
+            **attn_kwargs,
         )(x, x)
         x = nn.LayerNorm(dtype=self.dtype)(
             x + nn.Dropout(self.dropout)(attn, deterministic=not train)
@@ -72,6 +103,7 @@ class PointTransformer(nn.Module):
     remat: bool = False  # rematerialize each layer: O(depth) -> O(1)
     # activation memory for the backward pass, enabling very large N
     dtype: Optional[jnp.dtype] = None  # computation dtype (params f32)
+    attention_impl: str = "xla"  # "flash" = Pallas blockwise (TPU only)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -85,7 +117,7 @@ class PointTransformer(nn.Module):
             # explicit names keep the param tree identical with/without remat
             h = layer_cls(
                 self.embed_dim, self.num_heads, self.ffn_dim, self.dropout,
-                dtype=self.dtype,
+                dtype=self.dtype, attention_impl=self.attention_impl,
                 name=f"TransformerEncoderLayer_{i}",
             )(h, train)
         h = jnp.mean(h.astype(jnp.float32), axis=1)  # (B, E)

@@ -175,6 +175,28 @@ def main() -> int:
         ok &= check(f"sa_mlp_max VJP dgrouped ({tag})", gp, gr,
                     exact=False, atol=1e-4, rtol=1e-4)
 
+    # ---- flash-attention backend vs the XLA attention backend ----
+    from pointcloud_orientation_tpu.models import PointTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 512, 3), jnp.float32)
+    mx = PointTransformer(depth=2, ffn_dim=128)
+    mf = PointTransformer(depth=2, ffn_dim=128, attention_impl="flash")
+    vparams = mx.init({"params": jax.random.PRNGKey(13)}, x, train=False)
+    ok &= check(
+        "point_transformer flash == xla attention",
+        mf.apply(vparams, x, train=False),
+        mx.apply(vparams, x, train=False),
+        exact=False, atol=2e-3, rtol=1e-4,
+    )
+    gf = jax.grad(lambda p: jnp.sum(
+        mf.apply({"params": p}, x, train=False) ** 2))(vparams["params"])
+    gx = jax.grad(lambda p: jnp.sum(
+        mx.apply({"params": p}, x, train=False) ** 2))(vparams["params"])
+    flat_f = jnp.concatenate([jnp.ravel(a) for a in jax.tree_util.tree_leaves(gf)])
+    flat_x = jnp.concatenate([jnp.ravel(a) for a in jax.tree_util.tree_leaves(gx)])
+    ok &= check("point_transformer flash VJP == xla VJP", flat_f, flat_x,
+                exact=False, atol=5e-2, rtol=1e-3)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
