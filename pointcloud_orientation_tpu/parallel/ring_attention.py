@@ -31,16 +31,32 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _attend_block(q, k, v, scale):
+def _attend_block(q, k, v, scale, compute_dtype=None):
     """Scores and un-normalized attention for one K/V block.
 
     Returns ``(block_max (..., Sq, 1), exp_scores @ v, exp_sums)`` for the
-    streaming-softmax merge.
+    streaming-softmax merge. With ``compute_dtype`` (e.g. bf16) the two
+    einsums run at reduced precision with f32 accumulation — the softmax
+    bookkeeping (max/exp/sums and the ring merge) always stays f32.
     """
-    s = jnp.einsum("...qd,...kd->...qk", q, k) * scale  # (..., Sq, Sk)
+    if compute_dtype is not None:
+        s = jnp.einsum(
+            "...qd,...kd->...qk",
+            q.astype(compute_dtype), k.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    else:
+        s = jnp.einsum("...qd,...kd->...qk", q, k) * scale  # (..., Sq, Sk)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    o = jnp.einsum("...qk,...kd->...qd", p, v)
+    if compute_dtype is not None:
+        o = jnp.einsum(
+            "...qk,...kd->...qd",
+            p.astype(compute_dtype), v.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        o = jnp.einsum("...qk,...kd->...qd", p, v)
     l = jnp.sum(p, axis=-1, keepdims=True)
     return m, o, l
 
@@ -51,26 +67,30 @@ def ring_attention(
     v: jax.Array,
     axis_name: str = "model",
     scale: Optional[float] = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Exact softmax attention with Q/K/V sharded over ``axis_name``.
 
     Must run inside ``shard_map`` (or ``pmap``) with ``axis_name`` bound.
     Shapes are the *local shards*: ``q (..., Sq, D)``, ``k/v (..., Sk, D)``;
     the logical sequence is ``n_devices * S``. Numerics match full
-    attention to f32 rounding (streaming log-sum-exp merge).
+    attention to f32 rounding (streaming log-sum-exp merge);
+    ``compute_dtype=jnp.bfloat16`` runs the block matmuls on the MXU at
+    bf16 with f32 accumulation (merge stays f32).
     """
     n = jax.lax.psum(1, axis_name)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    m0, o0, l0 = _attend_block(q, k, v, scale)
+    m0, o0, l0 = _attend_block(q, k, v, scale, compute_dtype)
 
     def body(i, carry):
         m_acc, o_acc, l_acc, k_cur, v_cur = carry
         # stream the K/V shards around the ring
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        m_blk, o_blk, l_blk = _attend_block(q, k_nxt, v_nxt, scale)
+        m_blk, o_blk, l_blk = _attend_block(q, k_nxt, v_nxt, scale,
+                                            compute_dtype)
         # streaming-softmax merge of the new block into the accumulators
         m_new = jnp.maximum(m_acc, m_blk)
         alpha = jnp.exp(m_acc - m_new)
@@ -85,7 +105,8 @@ def ring_attention(
     return o_acc / l_acc
 
 
-def make_ring_attention(mesh, axis_name: str = "model", data_axis: str = "data"):
+def make_ring_attention(mesh, axis_name: str = "model", data_axis: str = "data",
+                        compute_dtype=None):
     """Build a shard_mapped ring attention over ``mesh``:
     ``fn(q, k, v) -> out`` with ``(B, H, N, D)`` arrays whose N axis is
     sharded over ``axis_name`` and batch over ``data_axis``."""
@@ -93,7 +114,8 @@ def make_ring_attention(mesh, axis_name: str = "model", data_axis: str = "data")
 
     spec = P(data_axis, None, axis_name, None)
     return shard_map(
-        functools.partial(ring_attention, axis_name=axis_name),
+        functools.partial(ring_attention, axis_name=axis_name,
+                          compute_dtype=compute_dtype),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

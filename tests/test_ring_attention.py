@@ -46,3 +46,22 @@ def test_ring_attention_gradients_match():
     g_full = jax.grad(lambda a, b, c: jnp.sum(full_attention(a, b, c) ** 2), argnums=(0, 1, 2))(q, k, v)
     for gr, gf in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), rtol=5e-4, atol=5e-5)
+
+
+def test_ring_attention_bf16_close_to_full():
+    """compute_dtype=bf16 ring attention (f32 accumulation + f32 LSE merge)
+    stays close to full f32 attention — the multi-chip long-context
+    mixed-precision option."""
+    B, H, N, D = 4, 2, 64, 16
+    mesh = make_mesh(("data", "model"), (2, 4))
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, N, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, N, D), jnp.float32)
+
+    ring = jax.jit(make_ring_attention(mesh, compute_dtype=jnp.bfloat16))
+    got = np.asarray(ring(q, k, v))
+    assert got.dtype == np.float32
+    expect = np.asarray(full_attention(q, k, v))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
