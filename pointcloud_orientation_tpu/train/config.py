@@ -49,6 +49,10 @@ class TrainConfig:
     # results/without_l2_norm)
     axes_gram_schmidt: bool = False  # orthogonalize up against forward
     axes_normalize_heads: bool = True  # False = no-L2-norm ablation
+    # transformer attention backend: "xla" (default; faster at this model's
+    # head_dim where both fit) or "flash" (Pallas blockwise, O(N) memory —
+    # the N>16k single-chip path; RESULTS.md long-context)
+    transformer_attention: str = "xla"
     # distribution heads
     kappa_default: float = 8.0
     max_k: int = 4

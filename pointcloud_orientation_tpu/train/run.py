@@ -253,6 +253,12 @@ def main(argv=None):
         "--compute-dtype", default=None, dest="compute_dtype",
         help="trunk computation dtype, e.g. bfloat16 (params/heads stay f32)",
     )
+    ap.add_argument(
+        "--attention", default=None, dest="transformer_attention",
+        choices=("xla", "flash"),
+        help="transformer attention backend (flash = Pallas blockwise, "
+             "O(N) memory; the N>16k single-chip path)",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
     ap.add_argument("--debug-checks", action="store_true")
@@ -260,7 +266,7 @@ def main(argv=None):
 
     overrides = {}
     for field in ("epochs", "batch_size", "num_points", "lr", "seed",
-                  "checkpoint_every", "compute_dtype"):
+                  "checkpoint_every", "compute_dtype", "transformer_attention"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v

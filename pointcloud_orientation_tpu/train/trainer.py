@@ -128,6 +128,8 @@ class Trainer:
             kwargs["gram_schmidt"] = cfg.axes_gram_schmidt
         if "normalize_heads" in fields:
             kwargs["normalize_heads"] = cfg.axes_normalize_heads
+        if "attention_impl" in fields:
+            kwargs["attention_impl"] = cfg.transformer_attention
         if cfg.compute_dtype and "dtype" in fields:
             kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
         return model_cls(**kwargs)
