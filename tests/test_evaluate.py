@@ -40,13 +40,13 @@ def test_bench_smoke():
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
-        BENCH_BATCH="4",
-        BENCH_POINTS="256",
-        BENCH_STEPS="2",
+        BENCH_BATCH="2",
+        BENCH_POINTS="128",
+        BENCH_STEPS="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=900,  # compile-bound; generous for loaded hosts
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
