@@ -1,0 +1,128 @@
+"""Export flax parameters to reference-format PyTorch ``state_dict``s.
+
+The inverse of :mod:`.torch_import`: weights trained in this framework load
+directly into the reference's model classes (`models/pointnet_pp.py:14-19,
+52-57` naming: ``sa{k}.convs.{i}`` / ``sa{k}.bns.{i}`` / ``fc1/fc2`` /
+``bn1/bn2`` (``ln1/ln2`` for the MvM trunk) / head layers), so a user of the
+reference stack can consume checkpoints produced here with
+``model.load_state_dict(..., strict=True)``.
+
+Layout conversions (mirror of the importer): Dense kernel ``(Cin, Cout)`` ->
+Conv2d weight ``(Cout, Cin, 1, 1)`` for the SA shared MLPs, ``(out, in)``
+Linear weight otherwise; BatchNorm ``scale/bias`` params + ``mean/var``
+batch stats -> ``weight/bias/running_mean/running_var`` (+ a zero
+``num_batches_tracked``, which torch checkpoints carry).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from .torch_import import _HEADS
+
+_TRUNK = "PointNetPPTrunk_0"
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a)
+
+
+def export_pointnet_pp_state_dict(
+    params: Mapping[str, Any],
+    batch_stats: Optional[Mapping[str, Any]] = None,
+    model: str = "pointnet_pp_8dir",
+) -> Dict[str, np.ndarray]:
+    """Convert ``(params, batch_stats)`` of a PointNet++-family flax model to
+    the reference's ``state_dict`` naming (numpy values; wrap with
+    ``torch.from_numpy`` to load)."""
+    if model not in _HEADS:
+        raise ValueError(f"unsupported model for export: {model}")
+    mvm = model == "pointnet_pp_mvm"
+    out: Dict[str, np.ndarray] = {}
+    trunk_p = params[_TRUNK]
+    trunk_s = (batch_stats or {}).get(_TRUNK, {})
+
+    # --- SA stages ---
+    for k in range(3):
+        sa_p = trunk_p[f"SetAbstraction_{k}"]["SharedMLP_0"]
+        sa_s = trunk_s.get(f"SetAbstraction_{k}", {}).get("SharedMLP_0", {})
+        i = 0
+        while f"Dense_{i}" in sa_p:
+            d = sa_p[f"Dense_{i}"]
+            out[f"sa{k + 1}.convs.{i}.weight"] = (
+                _np(d["kernel"]).T[:, :, None, None]
+            )
+            out[f"sa{k + 1}.convs.{i}.bias"] = _np(d["bias"])
+            bn = sa_p[f"BatchNorm_{i}"]
+            out[f"sa{k + 1}.bns.{i}.weight"] = _np(bn["scale"])
+            out[f"sa{k + 1}.bns.{i}.bias"] = _np(bn["bias"])
+            st = sa_s.get(f"BatchNorm_{i}", {})
+            n = _np(bn["scale"]).shape[0]
+            out[f"sa{k + 1}.bns.{i}.running_mean"] = _np(
+                st.get("mean", np.zeros(n, np.float32))
+            )
+            out[f"sa{k + 1}.bns.{i}.running_var"] = _np(
+                st.get("var", np.ones(n, np.float32))
+            )
+            out[f"sa{k + 1}.bns.{i}.num_batches_tracked"] = np.zeros(
+                (), np.int64
+            )
+            i += 1
+
+    # --- trunk FC funnel ---
+    for idx, name in ((0, "fc1"), (1, "fc2")):
+        d = trunk_p[f"Dense_{idx}"]
+        out[f"{name}.weight"] = _np(d["kernel"]).T
+        out[f"{name}.bias"] = _np(d["bias"])
+    if mvm:
+        for idx, name in ((0, "ln1"), (1, "ln2")):
+            ln = trunk_p[f"LayerNorm_{idx}"]
+            out[f"{name}.weight"] = _np(ln["scale"])
+            out[f"{name}.bias"] = _np(ln["bias"])
+    else:
+        for idx, name in ((0, "bn1"), (1, "bn2")):
+            bn = trunk_p[f"BatchNorm_{idx}"]
+            out[f"{name}.weight"] = _np(bn["scale"])
+            out[f"{name}.bias"] = _np(bn["bias"])
+            st = trunk_s.get(f"BatchNorm_{idx}", {})
+            n = _np(bn["scale"]).shape[0]
+            out[f"{name}.running_mean"] = _np(
+                st.get("mean", np.zeros(n, np.float32))
+            )
+            out[f"{name}.running_var"] = _np(
+                st.get("var", np.ones(n, np.float32))
+            )
+            out[f"{name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    # --- heads ---
+    for torch_name, flax_name in _HEADS[model].items():
+        d = params[flax_name]
+        out[f"{torch_name}.weight"] = _np(d["kernel"]).T
+        out[f"{torch_name}.bias"] = _np(d["bias"])
+    return out
+
+
+def to_torch_state_dict(np_state_dict: Mapping[str, np.ndarray]):
+    """Wrap a numpy state_dict in torch tensors (requires torch)."""
+    import torch
+
+    return {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in np_state_dict.items()}
+
+
+def save_torch_checkpoint(
+    path: str,
+    params: Mapping[str, Any],
+    batch_stats: Optional[Mapping[str, Any]] = None,
+    model: str = "pointnet_pp_8dir",
+):
+    """Write a reference-loadable ``.pth`` (raw state_dict, as the reference
+    saves them — e.g. `train_multi_peaks_vonMises_KL.py:289-290`)."""
+    import torch
+
+    sd = to_torch_state_dict(
+        export_pointnet_pp_state_dict(params, batch_stats, model)
+    )
+    torch.save(sd, path)

@@ -214,3 +214,79 @@ def test_point_transformer_parity(cloud):
         {"params": params}, jnp.asarray(cloud), train=False
     )
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Export: flax-trained weights load into the REFERENCE torch models
+# ---------------------------------------------------------------------------
+
+def _flax_init(model_cls, x, **kw):
+    m = model_cls(**kw)
+    variables = m.init(
+        {"params": jax.random.PRNGKey(3), "sampling": jax.random.PRNGKey(4)},
+        jnp.asarray(x), train=False,
+    )
+    return m, variables
+
+
+@pytest.mark.parametrize(
+    "flax_cls,name,torch_path,torch_cls",
+    [
+        (PointNetPP8Dir, "pointnet_pp_8dir",
+         "models.pointnet_pp_8dir", "PointNetPP8Dir"),
+        (PointNetPP, "pointnet_pp", "models.pointnet_pp", "PointNetPP"),
+        (PointNetPPVonMises, "pointnet_pp_von_mises",
+         "models.pointnet_pp_vonMises", "PointNetPPVonMises"),
+        (PointNetPPMvM, "pointnet_pp_mvm",
+         "models.pointnet_pp_mvM", "PointNetPPMvM"),
+    ],
+)
+def test_export_loads_into_reference_model(cloud, flax_cls, name, torch_path,
+                                           torch_cls):
+    """export_pointnet_pp_state_dict produces a state_dict the ACTUAL
+    reference torch model loads with strict=True, and the torch forward
+    matches the flax forward — round-trip interchange in both directions."""
+    import importlib
+
+    from pointcloud_orientation_tpu.utils import (
+        export_pointnet_pp_state_dict,
+        to_torch_state_dict,
+    )
+
+    TorchModel = getattr(importlib.import_module(torch_path), torch_cls)
+    fm, variables = _flax_init(flax_cls, cloud)
+    sd = to_torch_state_dict(export_pointnet_pp_state_dict(
+        variables["params"], variables.get("batch_stats"), name))
+    tm = TorchModel()
+    tm.load_state_dict(sd, strict=True)
+    tm.eval()
+
+    ours = fm.apply(variables, jnp.asarray(cloud), train=False)
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(cloud))
+    if isinstance(ours, tuple):
+        for a, b in zip(ours, theirs):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_export_import_roundtrip(cloud):
+    """import(export(tree)) == tree exactly (bitwise) for the 8dir family."""
+    from pointcloud_orientation_tpu.utils import (
+        export_pointnet_pp_state_dict,
+        import_pointnet_pp_state_dict,
+    )
+
+    _, variables = _flax_init(PointNetPP8Dir, cloud)
+    sd = export_pointnet_pp_state_dict(
+        variables["params"], variables.get("batch_stats"), "pointnet_pp_8dir")
+    params, stats = import_pointnet_pp_state_dict(sd, "pointnet_pp_8dir")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["params"], params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["batch_stats"], stats)
