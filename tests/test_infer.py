@@ -55,3 +55,38 @@ def test_padding_does_not_change_results(rng):
     # same first cloud served in a padded bucket of 1 -> identical row 0
     single = np.asarray(p2(clouds[:1]))
     np.testing.assert_allclose(single[0], full[0], atol=1e-5)
+
+
+def test_export_pth_roundtrip_through_predictor(tmp_path):
+    """save_torch_checkpoint -> OrientationPredictor.from_torch_checkpoint:
+    a framework-trained model round-trips through a reference-style .pth
+    into the serving path with identical outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloud_orientation_tpu.infer import OrientationPredictor
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+    from pointcloud_orientation_tpu.utils import save_torch_checkpoint
+
+    N = 256
+    model = PointNetPP8Dir()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((2, N, 3), jnp.float32), train=False,
+    )
+    path = str(tmp_path / "exported.pth")
+    save_torch_checkpoint(path, variables["params"],
+                          variables.get("batch_stats"), "pointnet_pp_8dir")
+
+    pred = OrientationPredictor.from_torch_checkpoint(
+        path, "pointnet_pp_8dir", num_points=N)
+    # reference predictor built directly from the original variables (same
+    # serving rng seed) — outputs must match the .pth round trip exactly
+    direct = OrientationPredictor(
+        "pointnet_pp_8dir", variables["params"],
+        variables.get("batch_stats"), num_points=N)
+    clouds = np.random.default_rng(0).normal(size=(3, N, 3)).astype(np.float32)
+    got = np.asarray(pred(clouds))
+    expect = np.asarray(direct(clouds))
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
