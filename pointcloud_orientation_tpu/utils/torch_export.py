@@ -126,3 +126,36 @@ def save_torch_checkpoint(
         export_pointnet_pp_state_dict(params, batch_stats, model)
     )
     torch.save(sd, path)
+
+
+def _main(argv=None):
+    """CLI: export an Orbax checkpoint (as written by Trainer.save_checkpoint)
+    to a reference-loadable .pth.
+
+        python -m pointcloud_orientation_tpu.utils.torch_export \\
+            --orbax results/run/ckpt/step_100 --model pointnet_pp_8dir \\
+            --out best.pth
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("--orbax", required=True,
+                    help="Orbax checkpoint dir (a step_N directory)")
+    ap.add_argument("--model", required=True, choices=sorted(_HEADS))
+    ap.add_argument("--out", required=True, help="output .pth path")
+    args = ap.parse_args(argv)
+
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckpt = ckptr.restore(os.path.abspath(args.orbax))
+    save_torch_checkpoint(
+        args.out, ckpt["params"], ckpt.get("batch_stats"), args.model
+    )
+    print(f"wrote {args.out} ({args.model})")
+
+
+if __name__ == "__main__":
+    _main()
