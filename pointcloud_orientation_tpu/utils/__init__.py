@@ -6,6 +6,7 @@ from .torch_import import (
 )
 from .torch_export import (
     export_pointnet_pp_state_dict,
+    export_pointnet_state_dict,
     save_torch_checkpoint,
     to_torch_state_dict,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "import_pointnet_state_dict",
     "load_torch_checkpoint",
     "export_pointnet_pp_state_dict",
+    "export_pointnet_state_dict",
     "save_torch_checkpoint",
     "to_torch_state_dict",
     "StepTimer",

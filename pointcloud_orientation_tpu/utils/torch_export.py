@@ -104,6 +104,63 @@ def export_pointnet_pp_state_dict(
     return out
 
 
+def _emit_block(out, p_node, s_node, torch_name, kind, idx):
+    """Inverse of torch_import._convert_block for one torch layer."""
+    if kind in ("conv", "fc"):
+        d = p_node[f"Dense_{idx}"]
+        w = _np(d["kernel"]).T
+        if kind == "conv":
+            w = w[:, :, None]  # Conv1d weight (out, in, 1)
+        out[f"{torch_name}.weight"] = w
+        out[f"{torch_name}.bias"] = _np(d["bias"])
+    else:  # bn
+        bn = p_node[f"BatchNorm_{idx}"]
+        out[f"{torch_name}.weight"] = _np(bn["scale"])
+        out[f"{torch_name}.bias"] = _np(bn["bias"])
+        st = (s_node or {}).get(f"BatchNorm_{idx}", {})
+        n = _np(bn["scale"]).shape[0]
+        out[f"{torch_name}.running_mean"] = _np(
+            st.get("mean", np.zeros(n, np.float32)))
+        out[f"{torch_name}.running_var"] = _np(
+            st.get("var", np.ones(n, np.float32)))
+        out[f"{torch_name}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_pointnet_state_dict(
+    params: Mapping[str, Any],
+    batch_stats: Optional[Mapping[str, Any]] = None,
+    model: str = "pointnet",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`..torch_import.import_pointnet_state_dict` for the
+    PointNet family: ``'pointnet'`` (`models/pointnet.py:111-129`),
+    ``'pointnet_cls'`` (`PointNetDemo.py:139-161`), ``'simple_pointnet'``
+    (`simple_pointnet_train.py:86-113`)."""
+    from .torch_import import _ENCODER_MAP, _PN_HEAD_MAP, _SIMPLE_MAP, _STN_MAP
+
+    stats = batch_stats or {}
+    out: Dict[str, np.ndarray] = {}
+    if model == "simple_pointnet":
+        for tname, (kind, idx) in _SIMPLE_MAP.items():
+            _emit_block(out, params, stats, tname, kind, idx)
+        return out
+    enc_attr = {"pointnet": "encoder", "pointnet_cls": "feat"}.get(model)
+    if enc_attr is None:
+        raise ValueError(f"unsupported model for export: {model}")
+    enc_p = params["PointNetEncoder_0"]
+    enc_s = stats.get("PointNetEncoder_0", {})
+    for tname, (kind, idx) in _ENCODER_MAP.items():
+        _emit_block(out, enc_p, enc_s, f"{enc_attr}.{tname}", kind, idx)
+    for stn_attr, stn_mod in (("stn", "STN3d_0"), ("fstn", "STNkd_0")):
+        if stn_mod not in enc_p:
+            continue
+        for tname, (kind, idx) in _STN_MAP.items():
+            _emit_block(out, enc_p[stn_mod], enc_s.get(stn_mod, {}),
+                        f"{enc_attr}.{stn_attr}.{tname}", kind, idx)
+    for tname, (kind, idx) in _PN_HEAD_MAP.items():
+        _emit_block(out, params, stats, tname, kind, idx)
+    return out
+
+
 def to_torch_state_dict(np_state_dict: Mapping[str, np.ndarray]):
     """Wrap a numpy state_dict in torch tensors (requires torch)."""
     import torch
@@ -122,10 +179,11 @@ def save_torch_checkpoint(
     saves them — e.g. `train_multi_peaks_vonMises_KL.py:289-290`)."""
     import torch
 
-    sd = to_torch_state_dict(
-        export_pointnet_pp_state_dict(params, batch_stats, model)
-    )
-    torch.save(sd, path)
+    if model in _HEADS:
+        np_sd = export_pointnet_pp_state_dict(params, batch_stats, model)
+    else:
+        np_sd = export_pointnet_state_dict(params, batch_stats, model)
+    torch.save(to_torch_state_dict(np_sd), path)
 
 
 def _main(argv=None):
@@ -141,7 +199,11 @@ def _main(argv=None):
     ap = argparse.ArgumentParser(description=_main.__doc__)
     ap.add_argument("--orbax", required=True,
                     help="Orbax checkpoint dir (a step_N directory)")
-    ap.add_argument("--model", required=True, choices=sorted(_HEADS))
+    ap.add_argument(
+        "--model", required=True,
+        choices=sorted(_HEADS) + ["pointnet", "pointnet_cls",
+                                  "simple_pointnet"],
+    )
     ap.add_argument("--out", required=True, help="output .pth path")
     args = ap.parse_args(argv)
 

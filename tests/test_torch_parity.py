@@ -290,3 +290,51 @@ def test_export_import_roundtrip(cloud):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         variables["batch_stats"], stats)
+
+
+def test_export_pointnet_family_loads_into_reference(cloud, tmp_path):
+    """export_pointnet_state_dict: flax PointNet (with both T-Nets) and
+    SimplePointNet weights load into the reference torch models with
+    strict=True and match forwards."""
+    import importlib.util
+
+    from pointcloud_orientation_tpu.utils import (
+        export_pointnet_state_dict,
+        to_torch_state_dict,
+    )
+
+    # --- full PointNet with feature transform ---
+    from models.pointnet import PointNet as TorchPointNet
+
+    fm = PointNet(feature_transform=True)
+    variables = fm.init(
+        {"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        jnp.asarray(cloud), train=False,
+    )
+    sd = to_torch_state_dict(export_pointnet_state_dict(
+        variables["params"], variables.get("batch_stats"), "pointnet"))
+    tm = TorchPointNet(feature_transform=True)
+    tm.load_state_dict(sd, strict=True)
+    tm.eval()
+    ours = np.asarray(fm.apply(variables, jnp.asarray(cloud), train=False))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(cloud)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
+
+    # --- SimplePointNet (defined inside the reference train script) ---
+    spec = importlib.util.spec_from_file_location(
+        "ref_simple2", os.path.join(REF, "simple_pointnet_train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fs = SimplePointNet()
+    vs = fs.init({"params": jax.random.PRNGKey(7)}, jnp.asarray(cloud),
+                 train=False)
+    sd2 = to_torch_state_dict(export_pointnet_state_dict(
+        vs["params"], vs.get("batch_stats"), "simple_pointnet"))
+    ts = mod.SimplePointNet()
+    ts.load_state_dict(sd2, strict=True)
+    ts.eval()
+    ours2 = np.asarray(fs.apply(vs, jnp.asarray(cloud), train=False))
+    with torch.no_grad():
+        theirs2 = ts(torch.from_numpy(cloud)).numpy()
+    np.testing.assert_allclose(ours2, theirs2, rtol=2e-3, atol=2e-4)
