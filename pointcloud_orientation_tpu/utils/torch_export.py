@@ -161,6 +161,48 @@ def export_pointnet_state_dict(
     return out
 
 
+def export_point_transformer_state_dict(
+    params: Mapping[str, Any],
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`..torch_import.import_point_transformer_state_dict`:
+    flax :class:`..models.PointTransformer` params -> the reference's torch
+    ``nn.TransformerEncoder`` state_dict (in_proj q/k/v row-thirds,
+    out_proj, linear1/2, norm1/2)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def dense(torch_name, node):
+        out[f"{torch_name}.weight"] = _np(node["kernel"]).T
+        out[f"{torch_name}.bias"] = _np(node["bias"])
+
+    dense("input_proj", params["Dense_0"])
+    dense("fc_out", params["Dense_1"])
+
+    i = 0
+    while f"TransformerEncoderLayer_{i}" in params:
+        lp = params[f"TransformerEncoderLayer_{i}"]
+        p = f"transformer.layers.{i}."
+        attn = lp["MultiHeadDotProductAttention_0"]
+        qkv_w, qkv_b = [], []
+        for name in ("query", "key", "value"):
+            k = _np(attn[name]["kernel"])  # (E, H, Dh)
+            E = k.shape[0]
+            qkv_w.append(k.reshape(E, E).T)  # (E_out, E_in)
+            qkv_b.append(_np(attn[name]["bias"]).reshape(E))
+        out[p + "self_attn.in_proj_weight"] = np.concatenate(qkv_w, axis=0)
+        out[p + "self_attn.in_proj_bias"] = np.concatenate(qkv_b, axis=0)
+        ok = _np(attn["out"]["kernel"])  # (H, Dh, E)
+        E = ok.shape[-1]
+        out[p + "self_attn.out_proj.weight"] = ok.reshape(E, E).T
+        out[p + "self_attn.out_proj.bias"] = _np(attn["out"]["bias"])
+        dense(p + "linear1", lp["Dense_0"])
+        dense(p + "linear2", lp["Dense_1"])
+        for t, flax_name in (("norm1", "LayerNorm_0"), ("norm2", "LayerNorm_1")):
+            out[p + t + ".weight"] = _np(lp[flax_name]["scale"])
+            out[p + t + ".bias"] = _np(lp[flax_name]["bias"])
+        i += 1
+    return out
+
+
 def to_torch_state_dict(np_state_dict: Mapping[str, np.ndarray]):
     """Wrap a numpy state_dict in torch tensors (requires torch)."""
     import torch

@@ -338,3 +338,39 @@ def test_export_pointnet_family_loads_into_reference(cloud, tmp_path):
     with torch.no_grad():
         theirs2 = ts(torch.from_numpy(cloud)).numpy()
     np.testing.assert_allclose(ours2, theirs2, rtol=2e-3, atol=2e-4)
+
+
+def test_export_point_transformer_loads_into_reference(cloud):
+    """export_point_transformer_state_dict: flax transformer weights load
+    into the reference's torch PointTransformer (strict=True) and match
+    forwards; also round-trips bitwise through the importer."""
+    from models.point_transformer import PointTransformer as TorchModel
+
+    from pointcloud_orientation_tpu.models import PointTransformer
+    from pointcloud_orientation_tpu.utils import (
+        import_point_transformer_state_dict,
+    )
+    from pointcloud_orientation_tpu.utils.torch_export import (
+        export_point_transformer_state_dict,
+    )
+
+    fm = PointTransformer(depth=2)
+    variables = fm.init({"params": jax.random.PRNGKey(9)},
+                        jnp.asarray(cloud), train=False)
+    sd_np = export_point_transformer_state_dict(variables["params"])
+    tm = TorchModel(depth=2)
+    tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd_np.items()},
+        strict=True,
+    )
+    tm.eval()
+    ours = np.asarray(fm.apply(variables, jnp.asarray(cloud), train=False))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(cloud)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+    p2, _ = import_point_transformer_state_dict(sd_np)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["params"], p2)
