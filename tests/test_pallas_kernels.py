@@ -376,3 +376,63 @@ def test_set_abstraction_fused_mlp_eval_matches(rng):
         np.testing.assert_allclose(
             np.asarray(got_pool), np.asarray(ref_pool), atol=1e-6
         )
+
+
+def test_kernel_shape_fuzz(rng):
+    """Randomized small-shape sweep: every grouping kernel matches the jnp
+    reference at non-canonical shapes (odd S/K, N not a power of two,
+    feature widths off the 128-lane grid)."""
+    from pointcloud_orientation_tpu.ops import index_points, knn_query
+    from pointcloud_orientation_tpu.ops.pallas_kernels import (
+        fps_pallas,
+        knn_pallas,
+        sa_group_coords_pallas,
+        sa_group_feats_pallas,
+    )
+    from pointcloud_orientation_tpu.ops.geometry import farthest_point_sample
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    cases = [
+        # (B, N, S, K, D)
+        (1, 96, 7, 3, 5),
+        (2, 130, 24, 9, 1),
+        (3, 200, 13, 13, 12),
+        (2, 257, 40, 17, 33),
+    ]
+    for B, N, S, K, D in cases:
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        cidx = jnp.asarray(
+            np.stack([rng.choice(N, size=S, replace=False) for _ in range(B)])
+            .astype(np.int32)
+        )
+        tag = f"B{B} N{N} S{S} K{K} D{D}"
+        new_xyz = index_points(xyz, cidx)
+        ref_idx = np.asarray(knn_query(new_xyz, xyz, K))
+
+        got = np.asarray(knn_pallas(new_xyz, xyz, K, interpret=True))
+        np.testing.assert_array_equal(got, ref_idx, err_msg=f"knn {tag}")
+
+        nx, grouped, idx = sa_group_coords_pallas(xyz, cidx, K, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx,
+                                      err_msg=f"sa_group idx {tag}")
+        expect = index_points(xyz, jnp.asarray(ref_idx)) - new_xyz[:, :, None, :]
+        np.testing.assert_allclose(np.asarray(grouped), np.asarray(expect),
+                                   atol=1e-5, err_msg=f"sa_group {tag}")
+
+        feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        _, gf, idx2 = sa_group_feats_pallas(xyz, feats, cidx, K, True)
+        np.testing.assert_array_equal(np.asarray(idx2), ref_idx,
+                                      err_msg=f"sa_feats idx {tag}")
+        ef = jnp.concatenate(
+            [expect, index_points(feats, jnp.asarray(ref_idx))], axis=-1)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ef), atol=1e-5,
+                                   err_msg=f"sa_feats {tag}")
+
+        # FPS: compare against the jnp fori_loop formulation
+        G.set_pallas_mode("never")
+        try:
+            ref_fps = np.asarray(farthest_point_sample(xyz, S))
+        finally:
+            G.set_pallas_mode("auto")
+        got_fps = np.asarray(fps_pallas(xyz, S, interpret=True))
+        np.testing.assert_array_equal(got_fps, ref_fps, err_msg=f"fps {tag}")
