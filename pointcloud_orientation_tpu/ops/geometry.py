@@ -100,14 +100,21 @@ def fused_mlp_eligible(train: bool = False) -> bool:
     the ghost-stats side pass + recompute backward lose to XLA's fused MLP
     (benchmarks/profile_ab_modes.py: 3.01 vs 2.78 ms/step at B=64 N=1024).
     ``PCOT_FUSED_MLP=0`` disables everywhere; ``=1`` forces it on in train
-    too (benchmarking).
+    too (benchmarking). Train-mode dispatch is gated on the env var ALONE —
+    ``set_pallas_mode('always')`` deliberately does NOT flip it, because the
+    fused train path normalizes with 1/ghost_stride subsampled BatchNorm
+    statistics and 'always' must keep reference BN semantics (ADVICE r2).
+
+    NOTE: like ``PCOT_SA_DEFER``, this env var is read at TRACE time —
+    changing it after a jitted program is compiled/cached has no effect;
+    set it before the first call (or clear jit caches) when benchmarking.
     """
     env = os.environ.get("PCOT_FUSED_MLP")
     if env == "0":
         return False
     if _PALLAS_MODE == "never":
         return False
-    if train and env != "1" and _PALLAS_MODE != "always":
+    if train and env != "1":
         return False
     if _PALLAS_MODE == "always":
         return True

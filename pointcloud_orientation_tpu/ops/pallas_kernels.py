@@ -273,171 +273,81 @@ def knn_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Gather via one-hot matmul (XLA's TPU gather/scatter are row-at-a-time slow)
-# ---------------------------------------------------------------------------
-
-
-def _gather_kernel(idx_ref, pts_ref, out_ref):
-    """out[r, :] = pts[idx[r], :] as a one-hot contraction on the MXU.
-
-    idx_ref: (TILE_R, 1) int32 VMEM; pts_ref: (N, C) VMEM;
-    out_ref: (TILE_R, C) VMEM.
-    """
-    N = pts_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], N), 1)
-    onehot = (lane == idx_ref[:, :]).astype(jnp.float32)
-    out_ref[:, :] = jax.lax.dot_general(
-        onehot,
-        pts_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _scatter_kernel(idx_ref, dout_ref, dpts_ref):
-    """dpts[n, :] = sum_r (idx[r] == n) * dout[r, :] — the gather transpose,
-    also one MXU contraction per tile.
-
-    idx_ref: (R, 1) int32; dout_ref: (R, C); dpts_ref: (N, C) VMEM out.
-    """
-    R = idx_ref.shape[0]
-    N = dpts_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
-    onehot = (lane == idx_ref[:, :]).astype(jnp.float32)  # (R, N)
-    dpts_ref[:, :] = jax.lax.dot_general(
-        onehot,
-        dout_ref[:, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),  # contract over R
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _gather_fwd_impl(points: jax.Array, idx: jax.Array, interpret: bool):
-    B, N, C = points.shape
-    R = idx.shape[1]
-    TILE_R = R if R <= 512 else 512
-    if R % TILE_R:
-        TILE_R = R  # fall back to one tile
-    idx3 = idx.reshape(B, R, 1).astype(jnp.int32)
-    return pl.pallas_call(
-        _gather_kernel,
-        grid=(B, R // TILE_R),
-        in_specs=[
-            pl.BlockSpec((None, TILE_R, 1), lambda b, r: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, N, C), lambda b, r: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, TILE_R, C), lambda b, r: (b, r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, R, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(idx3, points.astype(jnp.float32))
-
-
-def _scatter_impl(idx: jax.Array, dout: jax.Array, n: int, interpret: bool):
-    B, R, C = dout.shape
-    idx3 = idx.reshape(B, R, 1).astype(jnp.int32)
-    return pl.pallas_call(
-        _scatter_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, R, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, R, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, n, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(idx3, dout.astype(jnp.float32))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_pallas(points: jax.Array, idx: jax.Array, interpret: bool = False):
-    """Batched row gather ``points (B,N,C)[idx (B,R)] -> (B,R,C)`` as one-hot
-    MXU contractions, with the transpose (scatter-add) as its VJP — both
-    orders of magnitude faster than XLA's row-at-a-time TPU gather/scatter
-    for the SA grouping shapes.
-    """
-    return _gather_fwd_impl(points, idx, interpret)
-
-
-def _gather_vjp_fwd(points, idx, interpret):
-    # NB: in this jax version custom_vjp's fwd receives the ORIGINAL
-    # argument order (nondiff args in place); bwd receives them first.
-    return _gather_fwd_impl(points, idx, interpret), (idx, points.shape[1])
-
-
-def _gather_vjp_bwd(interpret, res, g):
-    idx, n = res
-    return _scatter_impl(idx, g, n, interpret), None
-
-
-gather_pallas.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)
-
-
-# ---------------------------------------------------------------------------
 # Fused kNN + gather + center: the sa1 hot path in one kernel
 # ---------------------------------------------------------------------------
-
-
-def _knn_gather_kernel(new_xyz_ref, xyz_ref, idx_ref, gx_ref, gy_ref, gz_ref,
-                       dist_ref):
-    """kNN selection that also emits the selected points' CENTERED
-    coordinates, reusing each pass's one-hot mask for the extraction —
-    the separate XLA gather (the most expensive single op in the sa1
-    stage) disappears.
-
-    new_xyz_ref: (S, 3); xyz_ref: (3, N); idx_ref: (S, K) int32 out;
-    g{x,y,z}_ref: (S, K) f32 out (centered coords); dist_ref: (S, N) scratch.
-    """
-    S, N = dist_ref.shape
-    K = idx_ref.shape[1]
-    CH = 2048
-    for start in range(0, N, CH):
-        size = min(CH, N - start)
-        xs = xyz_ref[:, start : start + size]
-        d = jnp.zeros((S, size), jnp.float32)
-        for c in range(3):
-            diff = new_xyz_ref[:, c][:, None] - xs[c, :][None, :]
-            d = d + diff * diff
-        dist_ref[:, start : start + size] = d
-
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
-
-    def body(j, _):
-        d = dist_ref[:, :]
-        # argmin kept: wins end-to-end vs min+tie-break (see _knn_kernel note)
-        idx = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,)
-        taken = col_ids == idx[:, None]  # (S, N) one-hot
-        sel = jnp.where(out_cols == j, idx[:, None], idx_ref[:, :])
-        idx_ref[:, :] = sel
-        takenf = taken.astype(jnp.float32)
-        for c, ref in enumerate((gx_ref, gy_ref, gz_ref)):
-            coord = jnp.sum(takenf * xyz_ref[c, :][None, :], axis=1)  # (S,)
-            centered = coord - new_xyz_ref[:, c]
-            ref[:, :] = jnp.where(out_cols == j, centered[:, None], ref[:, :])
-        dist_ref[:, :] = jnp.where(taken, jnp.inf, d)
-        return 0
-
-    jax.lax.fori_loop(0, K, body, 0)
 
 
 # ---------------------------------------------------------------------------
 # Fused SA grouping: distance -> kNN select -> gather -> center, with the
 # per-pass neighbor extraction on the MXU (one-hot contraction)
 # ---------------------------------------------------------------------------
+
+
+def _select_passes(dist_ref, idx_ref, lane_n, K: int) -> None:
+    """K exact first-min selection passes over the (S, N) VMEM distance tile,
+    writing nearest-first indices to ``idx_ref`` (K, S) and consuming
+    ``dist_ref`` (taken lanes end up +inf; the final pass's mask store is
+    skipped — nothing reads the tile afterwards).
+
+    The formulation is chosen at TRACE time by ``PCOT_SA_SELECT``
+    (benchmarking knob; every variant selects the identical indices,
+    first-occurrence tie-break, so parity tests hold under any value).
+    All variants MEASURED in-situ via bench.py on v5e (RESULTS.md
+    k-selection item 4) — the non-default ones are kept as executable
+    records of the negative results:
+
+    * ``argmin`` (default, **21,194 clouds/s**) — one argmin + one masked
+      store per pass. Threshold counting, min+tie-break and bf16 keys were
+      already measured and rejected earlier (RESULTS.md k-selection 1-3).
+    * ``multiG`` (``multi2`` 20,830 / ``multi4`` 20,901) — G selections per
+      mask store: within a group the j-th argmin masks the j prior winners
+      on the fly, then one store evicts the whole group. Loses: Mosaic
+      materializes each masked temp, so the saved stores cost more than
+      they buy.
+    * ``chunk`` (15,726) — the hierarchical formulation of VERDICT r2
+      item 2: per-pass argmin within 128-lane chunks, then a merge argmin
+      over the (S, N/128) chunk minima. Loses big: same compare work but
+      8x the intra-vreg lane-reduction work, plus merge overhead.
+    """
+    sel = os.environ.get("PCOT_SA_SELECT", "argmin")
+    S, N = dist_ref.shape
+    if sel.startswith("multi"):
+        G = max(1, int(sel[5:] or "4"))
+        for k0 in range(0, K, G):
+            g = min(G, K - k0)
+            d = dist_ref[:, :]
+            for j in range(g):
+                col = jnp.argmin(d, axis=1).astype(jnp.int32)
+                idx_ref[k0 + j, :] = col
+                if j + 1 < g or k0 + g < K:
+                    d = jnp.where(lane_n == col[:, None], jnp.inf, d)
+            if k0 + g < K:
+                dist_ref[:, :] = d
+        return
+    if sel == "chunk" and N % 128 == 0 and N > 128:
+        n_ch = N // 128
+        for k in range(K):
+            d3 = dist_ref[:, :].reshape(S, n_ch, 128)
+            cmin = jnp.min(d3, axis=2)  # (S, n_ch)
+            carg = jnp.argmin(d3, axis=2).astype(jnp.int32)
+            w = jnp.argmin(cmin, axis=1).astype(jnp.int32)  # (S,)
+            woh = (
+                jax.lax.broadcasted_iota(jnp.int32, (S, n_ch), 1) == w[:, None]
+            )
+            lane_in = jnp.sum(jnp.where(woh, carg, 0), axis=1).astype(jnp.int32)
+            col = w * 128 + lane_in
+            idx_ref[k, :] = col
+            if k + 1 < K:
+                dist_ref[:, :] = jnp.where(
+                    lane_n == col[:, None], jnp.inf, dist_ref[:, :]
+                )
+        return
+    for k in range(K):
+        d = dist_ref[:, :]
+        col = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,) first-min
+        idx_ref[k, :] = col
+        if k + 1 < K:  # the last pass's eviction is dead — skip the store
+            dist_ref[:, :] = jnp.where(lane_n == col[:, None], jnp.inf, d)
 
 
 def _sa_group_kernel(cidx_ref, xyz_t_ref, pts_ref, newxyz_ref, grouped_ref,
@@ -510,18 +420,16 @@ def _sa_group_kernel(cidx_ref, xyz_t_ref, pts_ref, newxyz_ref, grouped_ref,
             preferred_element_type=jnp.float32,
         )
 
+    # NOTE: PCOT_SA_DEFER / PCOT_SA_SELECT are read at TRACE time — flipping
+    # them after a jitted program is compiled/cached has no effect (set
+    # before first call or clear jit caches when A/B benchmarking).
     if os.environ.get("PCOT_SA_DEFER", "1") != "0":
         # DEFAULT: lean selection passes (indices only), then ONE batched
         # one-hot contraction for all K x S rows — fewer op boundaries
         # inside the loop, bigger MXU invocations after it. Measured on
         # v5e at the bench shape: 21,267 vs 19,187 clouds/s (+11%) over
         # the per-pass interleaved extraction below (PCOT_SA_DEFER=0).
-        for k in range(K):
-            d = dist_ref[:, :]
-            col = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,) first-min
-            idx_ref[k, :] = col
-            taken = lane_n == col[:, None]
-            dist_ref[:, :] = jnp.where(taken, jnp.inf, d)
+        _select_passes(dist_ref, idx_ref, lane_n, K)
         vals = jnp.concatenate([hi, mid, lo], axis=1)  # (N, 3C) bf16
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (K, S, N), 2)
         oh = (lane3 == idx_ref[:, :][:, :, None]).astype(jnp.bfloat16)
@@ -935,50 +843,3 @@ def _sa_mlp_max_vjp_bwd(bf16, interpret, res, g):
 
 
 sa_mlp_max_pallas.defvjp(_sa_mlp_max_vjp_fwd, _sa_mlp_max_vjp_bwd)
-
-
-@functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
-def knn_gather_pallas(
-    new_xyz: jax.Array,
-    xyz: jax.Array,
-    nsample: int,
-    interpret: bool | None = None,
-):
-    """Fused kNN + gather + center for coordinate-only grouping (sa1).
-
-    Returns ``(idx (B,S,K) int32, centered (B,S,K,3) f32)`` where
-    ``centered[b,s,k] = xyz[b, idx[b,s,k]] - new_xyz[b,s]`` — the exact
-    sampling+grouping output of `models/pointnet_pp.py:30-32` without the
-    separate gather. NOTE: not differentiable w.r.t. inputs (coordinates
-    carry no parameters in this framework's models; gradients never reach
-    them).
-    """
-    B, S, _ = new_xyz.shape
-    N = xyz.shape[1]
-    if interpret is None:
-        interpret = _use_interpret()
-    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
-
-    idx, gx, gy, gz = pl.pallas_call(
-        _knn_gather_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, S, nsample), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
-            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, nsample), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t)
-    centered = jnp.stack([gx, gy, gz], axis=-1)
-    return idx, centered

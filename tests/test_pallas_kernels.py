@@ -89,37 +89,6 @@ def test_dispatch_mode_switch(rng):
             assert set(base[b, s].tolist()) == set(via_pallas[b, s].tolist())
 
 
-def test_gather_pallas_matches_and_grads(rng):
-    from pointcloud_orientation_tpu.ops.pallas_kernels import gather_pallas
-    from pointcloud_orientation_tpu.ops import index_points
-
-    pts = jnp.asarray(rng.normal(size=(2, 64, 5)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, 64, size=(2, 32)).astype(np.int32))
-    np.testing.assert_allclose(
-        np.asarray(gather_pallas(pts, idx, True)),
-        np.asarray(index_points(pts, idx)),
-        atol=1e-6,
-    )
-    gp = jax.grad(lambda p: jnp.sum(gather_pallas(p, idx, True) ** 2))(pts)
-    gr = jax.grad(lambda p: jnp.sum(index_points(p, idx) ** 2))(pts)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
-
-
-def test_knn_gather_pallas_matches(rng):
-    from pointcloud_orientation_tpu.ops.pallas_kernels import knn_gather_pallas
-    from pointcloud_orientation_tpu.ops import index_points, knn_query
-
-    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
-    new_xyz = xyz[:, :24]
-    idx, centered = knn_gather_pallas(new_xyz, xyz, 8, interpret=True)
-    ridx = np.asarray(knn_query(new_xyz, xyz, 8))
-    for b in range(2):
-        for s in range(24):
-            assert set(ridx[b, s].tolist()) == set(np.asarray(idx)[b, s].tolist())
-    expect = index_points(xyz, idx) - new_xyz[:, :, None, :]
-    np.testing.assert_allclose(np.asarray(centered), np.asarray(expect), atol=1e-5)
-
-
 def test_sample_and_group_fused_path_matches(rng):
     """'always' mode routes sample_and_group's coordinate grouping through
     the fused kernel; output must equal the two-step path."""
@@ -436,3 +405,35 @@ def test_kernel_shape_fuzz(rng):
             G.set_pallas_mode("auto")
         got_fps = np.asarray(fps_pallas(xyz, S, interpret=True))
         np.testing.assert_array_equal(got_fps, ref_fps, err_msg=f"fps {tag}")
+
+
+def test_sa_select_variants_exact(rng, monkeypatch):
+    """Every PCOT_SA_SELECT formulation (the benchmarking knob on the fused
+    grouping kernel's selection loop) picks the IDENTICAL nearest-first
+    indices with first-occurrence tie-breaks — including on data with exact
+    distance ties. The env var binds at trace time, so each variant gets a
+    fresh trace via jax.clear_caches()."""
+    import importlib
+
+    from pointcloud_orientation_tpu.ops import pallas_kernels as pk
+
+    pts = rng.normal(size=(2, 256, 3)).astype(np.float32)
+    pts[0, 64:96] = pts[0, 0:32]  # exact duplicate points => distance ties
+    xyz = jnp.asarray(pts)
+    cidx = jnp.asarray(rng.integers(0, 256, size=(2, 40)).astype(np.int32))
+
+    outs = {}
+    for sel in ["argmin", "multi2", "multi4", "chunk"]:
+        monkeypatch.setenv("PCOT_SA_SELECT", sel)
+        jax.clear_caches()
+        importlib.reload(pk)
+        nx, g, idx = pk.sa_group_coords_pallas(xyz, cidx, 16, interpret=True)
+        outs[sel] = (np.asarray(nx), np.asarray(g), np.asarray(idx))
+    monkeypatch.delenv("PCOT_SA_SELECT")
+    jax.clear_caches()
+    importlib.reload(pk)
+
+    ref = outs["argmin"]
+    for sel in ["multi2", "multi4", "chunk"]:
+        for a, b, name in zip(ref, outs[sel], ["new_xyz", "grouped", "idx"]):
+            assert np.array_equal(a, b), (sel, name)

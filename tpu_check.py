@@ -36,8 +36,6 @@ def main() -> int:
     from pointcloud_orientation_tpu.ops.pallas_kernels import (
         ball_query_pallas,
         fps_pallas,
-        gather_pallas,
-        knn_gather_pallas,
         knn_pallas,
         sa_group_coords_pallas,
         sa_group_feats_pallas,
@@ -85,15 +83,6 @@ def main() -> int:
             f"sa_group centered B={B} N={N}", grouped, ref_centered, exact=True
         )
 
-        gidx, centered = knn_gather_pallas(new_xyz, xyz, K, interpret=False)
-        ok &= check(
-            f"knn_gather centered B={B} N={N}",
-            centered,
-            G.index_points(xyz, gidx) - new_xyz[:, :, None, :],
-            exact=False,
-            atol=1e-6,
-        )
-
     # feature-bearing fused grouping at the sa2 shape
     B, N, S, K, D = 8, 128, 32, 32, 128
     xyz = jax.random.normal(key, (B, N, 3), jnp.float32)
@@ -123,16 +112,6 @@ def main() -> int:
     # order than XLA's scatter-add -> last-ulp f32 noise (measured 3.6e-7
     # relative on device)
     ok &= check("sa_group_feats VJP scatter", gp, gr, exact=False, rtol=1e-5)
-
-    # one-hot gather + scatter-transpose kernel
-    idx2 = jax.random.randint(jax.random.PRNGKey(4), (B, S * K), 0, N)
-    ok &= check(
-        "gather_pallas",
-        gather_pallas(feats, idx2, False),
-        G.index_points(feats, idx2),
-        exact=False,
-        atol=1e-6,
-    )
 
     # fused shared-MLP + max-pool kernel at the sa1/sa2 trunk shapes, fwd+VJP
     from pointcloud_orientation_tpu.ops.pallas_kernels import sa_mlp_max_pallas
