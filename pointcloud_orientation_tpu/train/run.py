@@ -208,7 +208,7 @@ def _completed_best_val(label_dir: str, epochs: int):
             m = json.load(f)
         if len(m["history"]["val"]) == epochs and "test" in m:
             return float(m["best_val"])
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError, ValueError, TypeError):
         pass
     return None
 

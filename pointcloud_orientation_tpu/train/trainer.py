@@ -214,13 +214,29 @@ class Trainer:
                 opt_state=opt_state,
                 batch_stats=new_stats,
             )
-            return new_state, metrics_from(outputs, batch, per, valid)
+            metrics = metrics_from(outputs, batch, per, valid)
+            if cfg.debug_checks:
+                # Deep-harness payload (`train_multi_peaks_vonMises_KL_debug
+                # .py:277-306`): per-PARAMETER grad finiteness — a NaN born
+                # in a grad that never reaches the loss (clipped away or
+                # absorbed by Adam) is invisible to the loss check alone —
+                # plus the raw model outputs for the per-sample dump and
+                # output/Bessel finite checks host-side.
+                metrics["grad_finite"] = {
+                    jax.tree_util.keystr(path): jnp.all(jnp.isfinite(leaf))
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]
+                }
+                metrics["outputs"] = outputs
+            return new_state, metrics
 
         @jax.jit
         def eval_step(state: TrainState, batch, valid, rng):
             outputs, _ = forward(state.params, state.batch_stats, batch, rng, False)
             per = adapter.loss(outputs, batch, cfg)
-            return metrics_from(outputs, batch, per, valid)
+            metrics = metrics_from(outputs, batch, per, valid)
+            if cfg.debug_checks:
+                metrics["outputs"] = outputs
+            return metrics
 
         return train_step, eval_step
 
@@ -599,7 +615,11 @@ class Trainer:
                 self._debug_check(metrics, epoch, bi)
             acc.update(per, labels, np.asarray(valid), ang)
             n_clouds += int(np.sum(valid))
-        jax.block_until_ready(self.state.params)
+        # Sync by fetching a param value — this environment's
+        # block_until_ready can return before remote compute finishes
+        # (CLAUDE.md), which would inflate the stepwise clouds/sec.
+        if train:
+            float(np.asarray(jax.tree_util.tree_leaves(self.state.params)[0]).ravel()[0])
         dt = time.perf_counter() - t0
         phase = "train" if train else "eval"
         self.timings[f"{phase}_clouds_per_sec"] = n_clouds / max(dt, 1e-9)
@@ -609,10 +629,51 @@ class Trainer:
     def _debug_check(self, metrics, epoch: int, batch_idx: int):
         """Per-step finite assertions + per-sample log — the `_debug` harness
         (`train_multi_peaks_vonMises_KL_debug.py:49-68,89-95,277-306`) as a
-        flag. Appends loss and per-sample values to ``debug_log.txt`` in
-        ``cfg.out_dir`` and raises on the first non-finite loss."""
+        flag. Checks, in the reference's order: model outputs (":283-289"),
+        the Bessel terms the vM losses derive from any κ output (":49-56" —
+        ours are the scaled ``i0e``/``i1e`` actually used by
+        :mod:`..ops.von_mises`, stable by construction, checked anyway), the
+        loss (":291-295"), and per-parameter gradients (":304-306").
+        Appends loss, per-sample values, and the per-sample output dump
+        (μ/κ/w for the vM heads, ":89-95") to ``debug_log.txt`` in
+        ``cfg.out_dir`` and raises on the first non-finite value, naming
+        its source."""
         loss = float(metrics["loss"])
         per = np.asarray(metrics["per_sample"])
+        where = f"at epoch {epoch} batch {batch_idx}"
+
+        # model outputs: finite check + per-sample dump of the small heads
+        outs = metrics.get("outputs")
+        out_lines = []
+        if outs is not None:
+            leaves = jax.tree_util.tree_flatten_with_path(outs)[0]
+            for path, leaf in leaves:
+                arr = np.asarray(leaf)
+                name = jax.tree_util.keystr(path) or "out"
+                if not np.isfinite(arr).all():
+                    raise FloatingPointError(
+                        f"non-finite model output {name} {where}: {arr}"
+                    )
+                if arr.ndim == 2 and arr.shape[1] <= 32:
+                    out_lines.append(
+                        f"  {name}="
+                        f"{np.array2string(arr, precision=4, max_line_width=200)}"
+                    )
+                if "kappa" in name.lower():
+                    try:
+                        from scipy.special import i0e, i1e
+
+                        if not (
+                            np.isfinite(i0e(arr)).all()
+                            and np.isfinite(i1e(arr)).all()
+                        ):
+                            raise FloatingPointError(
+                                f"non-finite Bessel i0e/i1e for {name} "
+                                f"{where}: kappa={arr}"
+                            )
+                    except ImportError:  # pragma: no cover
+                        pass
+
         try:
             os.makedirs(self.cfg.out_dir, exist_ok=True)
             with open(os.path.join(self.cfg.out_dir, "debug_log.txt"), "a") as f:
@@ -620,13 +681,28 @@ class Trainer:
                     f"epoch={epoch} batch={batch_idx} loss={loss:.6f} "
                     f"per_sample={np.array2string(per, precision=4, max_line_width=200)}\n"
                 )
+                for line in out_lines:
+                    f.write(line + "\n")
+                if "grad_finite" in metrics:
+                    bad = [
+                        k for k, v in metrics["grad_finite"].items() if not bool(v)
+                    ]
+                    f.write(
+                        f"  grads: {len(metrics['grad_finite'])} params, "
+                        f"non-finite: {bad if bad else 'none'}\n"
+                    )
         except OSError:
             pass
         if not np.isfinite(loss):
             raise FloatingPointError(
-                f"non-finite loss at epoch {epoch} batch {batch_idx}: "
-                f"loss={loss}, per-sample={per}"
+                f"non-finite loss {where}: loss={loss}, per-sample={per}"
             )
+        for name, fin in metrics.get("grad_finite", {}).items():
+            if not bool(fin):
+                raise FloatingPointError(
+                    f"non-finite grad in param {name} {where} "
+                    f"(loss itself finite: {loss})"
+                )
 
     # ---------- the protocol ----------
 

@@ -84,3 +84,71 @@ def test_mvm_task_trains(tiny_ds):
     assert np.isfinite(hist["train"][0])
     va = tr._run_phase(tr.val_ds, train=False, epoch=0)
     assert np.isfinite(va.mean_loss)
+
+
+def test_debug_harness_deep_checks(tiny_ds, tmp_path):
+    """debug_checks=True runs the deep `_debug` harness: per-step loss,
+    per-sample values, per-sample model-output dump (mu/kappa/w for the vM
+    heads) and per-parameter grad finiteness all land in debug_log.txt
+    (`train_multi_peaks_vonMises_KL_debug.py:89-95,277-306`)."""
+    cfg = _tiny(
+        preset("mvm", classes=("chair", "bottle", "bowl", "plant", "sofa", "toilet"))
+    ).replace(debug_checks=True, out_dir=str(tmp_path))
+    tr = Trainer(cfg, tiny_ds)
+    hist = tr.fit(epochs=1, log_every=0)
+    assert np.isfinite(hist["train"][0])
+    log = (tmp_path / "debug_log.txt").read_text()
+    assert "loss=" in log and "per_sample=" in log
+    # per-sample output dump: the MvM head's three (B, K) arrays
+    assert log.count("[0]") or "out" in log  # keystr-named leaves present
+    assert "grads:" in log and "non-finite: none" in log
+
+
+def test_debug_check_raises_on_nan_grad(tiny_ds, tmp_path):
+    """A NaN born in a gradient is caught and named even when the loss
+    itself is finite (the case the loss-only check misses)."""
+    cfg = _tiny(preset("simple_pointnet", classes=("chair",))).replace(
+        debug_checks=True, out_dir=str(tmp_path)
+    )
+    tr = Trainer(cfg, tiny_ds)
+    metrics = {
+        "loss": np.float32(0.5),
+        "per_sample": np.zeros(4, np.float32),
+        "angular": np.zeros(4, np.float32),
+        "grad_finite": {"['Dense_0']['kernel']": np.bool_(False)},
+    }
+    with pytest.raises(FloatingPointError, match=r"Dense_0.*kernel"):
+        tr._debug_check(metrics, epoch=1, batch_idx=0)
+
+
+def test_debug_check_raises_on_nan_output(tiny_ds, tmp_path):
+    cfg = _tiny(preset("simple_pointnet", classes=("chair",))).replace(
+        debug_checks=True, out_dir=str(tmp_path)
+    )
+    tr = Trainer(cfg, tiny_ds)
+    bad = np.ones((4, 3), np.float32)
+    bad[1, 2] = np.nan
+    metrics = {
+        "loss": np.float32(0.5),
+        "per_sample": np.zeros(4, np.float32),
+        "angular": np.zeros(4, np.float32),
+        "outputs": (bad,),
+    }
+    with pytest.raises(FloatingPointError, match="model output"):
+        tr._debug_check(metrics, epoch=1, batch_idx=0)
+
+
+def test_debug_check_raises_on_bessel_overflow_kappa(tiny_ds, tmp_path):
+    """An inf kappa output is flagged as a non-finite model output before it
+    can poison the Bessel terms (`..._debug.py:49-56`); a huge-but-finite
+    kappa passes because the stack computes SCALED i0e/i1e, never raw i0."""
+    cfg = _tiny(preset("vm_kl")).replace(debug_checks=True, out_dir=str(tmp_path))
+    tr = Trainer(cfg, tiny_ds)
+    ok_kappa = np.full((2, 1), 1e30, np.float32)  # raw i0 overflows, i0e fine
+    metrics = {
+        "loss": np.float32(0.1),
+        "per_sample": np.zeros(2, np.float32),
+        "angular": np.zeros(2, np.float32),
+        "outputs": {"mu": np.zeros((2, 1), np.float32), "kappa": ok_kappa},
+    }
+    tr._debug_check(metrics, epoch=0, batch_idx=0)  # must not raise
