@@ -17,6 +17,21 @@ import os
 import time
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS=cpu request even though this environment's
+# site hook pre-registers the TPU plugin and re-forces the platform (the
+# env var alone is overridden at interpreter startup). This keeps the
+# hermetic smoke path (tests/test_evaluate.py::test_bench_smoke) off the
+# real chip; normal bench runs are unaffected.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+    except Exception:  # pragma: no cover - best effort
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 import optax

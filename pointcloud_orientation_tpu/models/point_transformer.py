@@ -38,6 +38,16 @@ def _flash_attention_fn(query, key, value, bias=None, mask=None,
     from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
 
     assert bias is None and mask is None, "flash path supports no bias/mask"
+    if dropout_rate > 0.0 and not deterministic:
+        import warnings
+
+        warnings.warn(
+            "flash attention backend does not apply attention-probability "
+            "dropout (rate %.3g ignored; residual/FFN dropout still apply) "
+            "— regularization differs from the torch reference "
+            "TransformerEncoderLayer" % dropout_rate,
+            stacklevel=2,
+        )
     d = query.shape[-1]
     compute = dtype or query.dtype
     q = jnp.swapaxes(query, 1, 2).astype(compute)  # (B, H, N, D)

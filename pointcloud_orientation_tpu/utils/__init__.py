@@ -5,6 +5,7 @@ from .torch_import import (
     load_torch_checkpoint,
 )
 from .torch_export import (
+    export_point_transformer_state_dict,
     export_pointnet_pp_state_dict,
     export_pointnet_state_dict,
     save_torch_checkpoint,
@@ -17,6 +18,7 @@ __all__ = [
     "import_pointnet_pp_state_dict",
     "import_pointnet_state_dict",
     "load_torch_checkpoint",
+    "export_point_transformer_state_dict",
     "export_pointnet_pp_state_dict",
     "export_pointnet_state_dict",
     "save_torch_checkpoint",
