@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     data_axis_size,
 )
+from .tp import make_tp_train_step, shard_tp_params, tp_param_specs
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "data_axis_size",
+    "tp_param_specs",
+    "shard_tp_params",
+    "make_tp_train_step",
 ]
