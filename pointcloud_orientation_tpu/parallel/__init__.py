@@ -5,6 +5,12 @@ from .mesh import (
     shard_batch,
     data_axis_size,
 )
+from .pp import (
+    make_pp_apply,
+    make_pp_train_step,
+    place_pipeline_state,
+    split_pipeline_params,
+)
 from .tp import make_tp_train_step, shard_tp_params, tp_param_specs
 
 __all__ = [
@@ -16,4 +22,8 @@ __all__ = [
     "tp_param_specs",
     "shard_tp_params",
     "make_tp_train_step",
+    "split_pipeline_params",
+    "place_pipeline_state",
+    "make_pp_apply",
+    "make_pp_train_step",
 ]
