@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     data_axis_size,
 )
+from .ep import MoEFeedForward, make_ep_apply, place_ep_params
 from .pp import (
     make_pp_apply,
     make_pp_train_step,
@@ -26,4 +27,7 @@ __all__ = [
     "place_pipeline_state",
     "make_pp_apply",
     "make_pp_train_step",
+    "MoEFeedForward",
+    "place_ep_params",
+    "make_ep_apply",
 ]
