@@ -180,7 +180,7 @@ def make_pp_apply(model, mesh: Mesh, microbatches: int,
 
 
 def make_pp_train_step(model, tx, mesh: Mesh, microbatches: int,
-                       axis_name: str = "stage"):
+                       axis_name: str = "stage", data_axis: str = None):
     """Build ``step(params2, opt_state, x, target) -> (params2, opt_state,
     loss)`` where ``params2 = (stacked, rest)``.
 
@@ -190,6 +190,14 @@ def make_pp_train_step(model, tx, mesh: Mesh, microbatches: int,
     automatic all-reduce); the optax update runs outside,
     where the grads' shardings make moments/updates stage-local
     automatically. ``opt_state = tx.init((stacked, rest))`` on placed params.
+
+    With ``data_axis`` set (2-D ``(data, stage)`` mesh), DP composes with
+    PP: ``x``/``target`` are additionally batch-sharded over ``data_axis``
+    (each data slice runs its own pipeline over its stage row), the loss is
+    pmean'd over ``data`` so it is replicated, and param gradients come
+    back data-summed automatically (params are unvarying over ``data``, so
+    the vma transpose inserts that all-reduce too — divide-by-n lives in
+    the pmean'd loss).
     """
     import optax
     from jax import shard_map
@@ -200,20 +208,25 @@ def make_pp_train_step(model, tx, mesh: Mesh, microbatches: int,
         def loss_fn(stacked, rest):
             out = _forward(model, stage_fn, stacked, rest, x, microbatches,
                            axis_name)
-            return jnp.mean((out - target) ** 2)
+            local = jnp.mean((out - target) ** 2)
+            if data_axis is not None:
+                local = lax.pmean(local, data_axis)
+            return local
 
         loss, (g_s, g_r) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             stacked, rest)
-        # g_r needs NO manual psum: `rest` enters shard_map unvarying
-        # (replicated), so the vma-aware transpose already all-reduces the
-        # stage-local contributions into a replicated gradient — same rule
-        # the SP step relies on (sp_transformer.make_sp_train_step).
+        # Neither g_r nor the cross-data reduction of g_s needs a manual
+        # psum: params enter shard_map unvarying over those axes, so the
+        # vma-aware transpose already all-reduces the per-device
+        # contributions — same rule the SP step relies on
+        # (sp_transformer.make_sp_train_step).
         return loss, g_s, g_r
 
+    batch_spec = P() if data_axis is None else P(data_axis)
     grad_fn = shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(P(axis_name), P(), P(), P()),
+        in_specs=(P(axis_name), P(), batch_spec, batch_spec),
         out_specs=(P(), P(axis_name), P()),
     )
 

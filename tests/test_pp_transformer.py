@@ -108,6 +108,45 @@ def test_pp_params_actually_sharded():
     assert {s.data.shape for s in r.addressable_shards} == {r.shape}
 
 
+def test_pp_composes_with_dp_on_2d_mesh():
+    """DP×PP on a (data=2, stage=4) mesh: batch sharded over `data`, depth
+    over `stage`; one SGD step equals the single-device step exactly (the
+    cross-data grad reduction is inserted by the vma transpose, the 1/n by
+    the pmean'd loss)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    model = _model()
+    params, x, target = _init(model)
+    tx = optax.sgd(0.1)
+
+    def base_loss(p):
+        out = model.apply({"params": p}, x, train=False)
+        return jnp.mean((out - target) ** 2)
+
+    loss_ref, g = jax.value_and_grad(base_loss)(params)
+    new_ref = jax.tree_util.tree_map(lambda a, b: a - 0.1 * b, params, g)
+    ns_ref, nr_ref = split_pipeline_params(new_ref, DEPTH)
+
+    mesh = make_mesh(("data", "stage"), (2, 4), jax.devices()[:8])
+    stacked, rest = split_pipeline_params(params, DEPTH)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("stage"))), stacked)
+    rest = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), rest)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ts = jax.device_put(target, NamedSharding(mesh, P("data")))
+    step = make_pp_train_step(model, tx, mesh, microbatches=2,
+                              data_axis="data")
+    (new_s, new_r), _, loss = step(
+        (stacked, rest), tx.init((stacked, rest)), xs, ts)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
+    for ref_leaf, got_leaf in zip(jax.tree_util.tree_leaves((ns_ref, nr_ref)),
+                                  jax.tree_util.tree_leaves((new_s, new_r))):
+        np.testing.assert_allclose(
+            np.asarray(got_leaf), np.asarray(ref_leaf), atol=2e-6)
+
+
 def test_pp_adam_steps_train():
     """Two chained Adam steps: loss decreases, shardings stay put (moments
     inherit the stacked params' stage sharding by propagation)."""
