@@ -6,6 +6,7 @@ from .mesh import (
     data_axis_size,
 )
 from .ep import MoEFeedForward, make_ep_apply, place_ep_params
+from .fsdp import fsdp_param_specs, make_fsdp_train_step, shard_fsdp_params
 from .pp import (
     make_pp_apply,
     make_pp_train_step,
@@ -30,4 +31,7 @@ __all__ = [
     "MoEFeedForward",
     "place_ep_params",
     "make_ep_apply",
+    "fsdp_param_specs",
+    "shard_fsdp_params",
+    "make_fsdp_train_step",
 ]
