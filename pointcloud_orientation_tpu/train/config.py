@@ -39,6 +39,11 @@ class TrainConfig:
     batch_size: int = 16
     epochs: int = 200
     lr: float = 1e-3
+    # opt-in LR schedule (None = the reference's constant lr):
+    #   "cosine"  — cosine decay from lr to 0 over `epochs`, with an
+    #               optional linear warmup of `warmup_epochs`
+    lr_schedule: Optional[str] = None
+    warmup_epochs: int = 0
     optimizer: str = "adam"  # "adam" (reference) | "sgd"
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" trunk compute
     # (params/optimizer/heads/geometry stay f32; see PointNetPPTrunk.dtype)

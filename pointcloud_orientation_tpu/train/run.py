@@ -262,11 +262,19 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
     ap.add_argument("--debug-checks", action="store_true")
+    ap.add_argument(
+        "--lr-schedule", default=None, dest="lr_schedule",
+        choices=("cosine",),
+        help="opt-in LR schedule (default: the reference's constant lr)",
+    )
+    ap.add_argument("--warmup-epochs", type=int, default=None,
+                    dest="warmup_epochs")
     args = ap.parse_args(argv)
 
     overrides = {}
     for field in ("epochs", "batch_size", "num_points", "lr", "seed",
-                  "checkpoint_every", "compute_dtype", "transformer_attention"):
+                  "checkpoint_every", "compute_dtype", "transformer_attention",
+                  "lr_schedule", "warmup_epochs"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v

@@ -80,10 +80,29 @@ class Trainer:
         tx_parts = []
         if config.grad_clip is not None:
             tx_parts.append(optax.clip_by_global_norm(config.grad_clip))
+        # opt-in schedule (the reference trains at constant lr). The decay
+        # horizon is config.epochs over the 70% train split; the schedule's
+        # step count lives in opt_state, so Orbax resume keeps it exact.
+        if config.lr_schedule is None:
+            self.lr_schedule = None
+            lr = config.lr
+        elif config.lr_schedule == "cosine":
+            steps_per_epoch = max(
+                1, -(-len(self.train_ds) // config.batch_size))
+            warmup = steps_per_epoch * config.warmup_epochs
+            self.lr_schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warmup else config.lr,
+                peak_value=config.lr,
+                warmup_steps=warmup,
+                decay_steps=steps_per_epoch * config.epochs,
+            )
+            lr = self.lr_schedule
+        else:
+            raise ValueError(f"unknown lr_schedule: {config.lr_schedule}")
         if config.optimizer == "adam":
-            tx_parts.append(optax.adam(config.lr))
+            tx_parts.append(optax.adam(lr))
         elif config.optimizer == "sgd":
-            tx_parts.append(optax.sgd(config.lr))
+            tx_parts.append(optax.sgd(lr))
         else:
             raise ValueError(f"unknown optimizer: {config.optimizer}")
         self.tx = optax.chain(*tx_parts)
