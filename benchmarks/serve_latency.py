@@ -42,6 +42,39 @@ def device_latency(model, variables, B, N, steps=50):
     return best * 1e3
 
 
+def device_latency_int8(model, variables, B, N, steps=50):
+    """Weight-only int8 path: dequant runs inside the program each step,
+    exactly as the serving predictor dispatches it."""
+    from pointcloud_orientation_tpu.utils import (
+        dequantize_params,
+        quantize_params_int8,
+    )
+
+    qparams, scales = quantize_params_int8(variables["params"])
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    scales = {k: jnp.asarray(v) for k, v in scales.items()}
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
+
+    @jax.jit
+    def many(x):
+        def body(c, i):
+            v = dict(rest, params=dequantize_params(qparams, scales))
+            out = model.apply(v, x + c * 1e-12, train=False)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+        return c
+
+    float(np.asarray(many(x)))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(many(x)))
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best * 1e3
+
+
 def request_latency(pred, B, N, reps=20):
     clouds = np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
     pred(clouds)  # compile the bucket
@@ -73,6 +106,13 @@ def main():
             variables.get("batch_stats"),
             num_points=N,
         )
+        pred8 = OrientationPredictor(
+            "pointnet_pp_8dir",
+            variables["params"],
+            variables.get("batch_stats"),
+            num_points=N,
+            quantize="int8",
+        )
         for B in (1, 64):
             dev = device_latency(model, variables, B, N)
             req = request_latency(pred, B, N)
@@ -80,6 +120,14 @@ def main():
                 f"N={N:>6} B={B:>3}  device {dev:7.2f} ms/batch "
                 f"({B / dev * 1e3:8.0f} clouds/s)   end-to-end request "
                 f"{req:7.1f} ms (incl. tunnel)",
+                flush=True,
+            )
+            dev8 = device_latency_int8(model, variables, B, N)
+            req8 = request_latency(pred8, B, N)
+            print(
+                f"N={N:>6} B={B:>3}  device {dev8:7.2f} ms/batch "
+                f"({B / dev8 * 1e3:8.0f} clouds/s)   end-to-end request "
+                f"{req8:7.1f} ms (incl. tunnel)  [int8 weights]",
                 flush=True,
             )
 
