@@ -19,6 +19,11 @@ from .pointnet_pp import (
     PointNetPPCls,
 )
 from .point_transformer import PointTransformer
+from .moe_transformer import (
+    MoEPointTransformer,
+    moe_ep_param_specs,
+    shard_moe_params,
+)
 from ..parallel.sp_transformer import RingPointTransformer
 
 MODEL_REGISTRY = {
@@ -37,9 +42,15 @@ MODEL_REGISTRY = {
     # sequence-parallel ring-attention variant (plain path when no mesh
     # axis is bound; see parallel/sp_transformer.py for the SPMD step)
     "ring_point_transformer": RingPointTransformer,
+    # NOTE: MoEPointTransformer is exported but NOT registered — it returns
+    # (out, aux) rather than the registry's single-output contract that the
+    # serving predictor and torch import/export rely on.
 }
 
 __all__ = [
+    "MoEPointTransformer",
+    "moe_ep_param_specs",
+    "shard_moe_params",
     "SetAbstraction",
     "SharedMLP",
     "PointNetPPTrunk",
