@@ -50,6 +50,7 @@ class OrientationPredictor:
         max_batch: int = 256,
         seed: int = 0,
         quantize: Optional[str] = None,
+        scales: Optional[Dict] = None,
         **model_kwargs: Any,
     ):
         self.model = MODEL_REGISTRY[model_name](**model_kwargs)
@@ -57,13 +58,15 @@ class OrientationPredictor:
         self.num_points = num_points
         self.max_batch = max_batch
         self._scales = None
-        if quantize is not None:
+        if scales is not None:  # params arrive already int8-quantized
+            self._scales = {k: jnp.asarray(v) for k, v in scales.items()}
+        elif quantize is not None:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             from .utils.quantize import quantize_params_int8
 
-            params, scales = quantize_params_int8(params)
-            self._scales = {k: jnp.asarray(v) for k, v in scales.items()}
+            params, qscales = quantize_params_int8(params)
+            self._scales = {k: jnp.asarray(v) for k, v in qscales.items()}
         self.variables = {"params": params}
         if batch_stats:
             self.variables["batch_stats"] = batch_stats
@@ -104,6 +107,18 @@ class OrientationPredictor:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckpt = ckptr.restore(path)
         return cls(model, ckpt["params"], ckpt.get("batch_stats"), **kw)
+
+    @classmethod
+    def from_quantized_checkpoint(
+        cls, path: str, model: str, **kw
+    ) -> "OrientationPredictor":
+        """Serve straight from an int8 ``.npz`` artifact
+        (:func:`~pointcloud_orientation_tpu.utils.save_quantized_checkpoint`)
+        — ~4× smaller on disk/wire than the f32 checkpoint."""
+        from .utils.quantize import load_quantized_checkpoint
+
+        quantized, scales, batch_stats = load_quantized_checkpoint(path)
+        return cls(model, quantized, batch_stats, scales=scales, **kw)
 
     # ---------- serving ----------
 

@@ -12,7 +12,13 @@ from .torch_export import (
     to_torch_state_dict,
 )
 from .profiling import StepTimer, trace_annotation
-from .quantize import dequantize_params, param_bytes, quantize_params_int8
+from .quantize import (
+    dequantize_params,
+    load_quantized_checkpoint,
+    param_bytes,
+    quantize_params_int8,
+    save_quantized_checkpoint,
+)
 
 __all__ = [
     "import_point_transformer_state_dict",
@@ -29,4 +35,6 @@ __all__ = [
     "quantize_params_int8",
     "dequantize_params",
     "param_bytes",
+    "save_quantized_checkpoint",
+    "load_quantized_checkpoint",
 ]

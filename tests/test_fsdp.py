@@ -138,6 +138,52 @@ def test_fsdp_params_and_moments_actually_sharded():
     assert {s.data.shape for s in k2.addressable_shards} == {(16, 8)}
 
 
+def test_fsdp_x_tp_train_step_matches_single_device():
+    """FSDP over 'data' composed with Megatron TP over 'model' on one 2-D
+    mesh: TP owns heads/FFN, FSDP scatters what TP left replicated; the
+    combined step still equals the unsharded one."""
+    from pointcloud_orientation_tpu.parallel import make_tp_train_step
+
+    model = _model()
+    params, x, target = _init(model)
+    tx = optax.sgd(0.1)
+
+    @jax.jit
+    def base_step(p, o, x, t):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, train=False)
+            return jnp.mean((out - t) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p_ref, _, loss_ref = base_step(params, tx.init(params), x, target)
+
+    mesh = make_mesh(("data", "model"), (2, 2), jax.devices()[:4])
+    specs = fsdp_param_specs(params, axis_size=2, min_weight_size=1,
+                             skip=tp_param_specs(params))
+    sharded = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ts = jax.device_put(target, NamedSharding(mesh, P("data")))
+    # the TP step builder is sharding-agnostic: it just jits the math over
+    # whatever shardings params/opt_state/batch carry
+    step = make_tp_train_step(model, tx, mesh)
+    p_c, _, loss_c = step(sharded, tx.init(sharded), xs, ts)
+
+    np.testing.assert_allclose(float(loss_c), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_c)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+    # both axes really in play: FFN kernel split over 'model',
+    # embed kernel split over 'data'
+    ffn = p_c["TransformerEncoderLayer_0"]["Dense_0"]["kernel"]
+    assert {s.data.shape for s in ffn.addressable_shards} == {(16, 16)}
+    emb = p_c["Dense_0"]["kernel"]  # (3, 16): only the 16 divides -> (3, 8)
+    assert {s.data.shape for s in emb.addressable_shards} == {(3, 8)}
+
+
 def test_fsdp_remat_matches_plain():
     model = _model()
     params, x, target = _init(model)

@@ -69,6 +69,43 @@ def test_dequantize_error_within_step_size():
     assert checked > 0
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    from pointcloud_orientation_tpu.utils import (
+        load_quantized_checkpoint,
+        save_quantized_checkpoint,
+    )
+
+    params, stats = _init_8dir()
+    path = str(tmp_path / "int8.npz")
+    save_quantized_checkpoint(path, params, stats)
+
+    q_ref, s_ref = quantize_params_int8(params)
+    q, s, st = load_quantized_checkpoint(path)
+    # bitwise round-trip of the quantized tree and scales
+    ref_flat = dict(jax.tree_util.tree_flatten_with_path(q_ref)[0])
+    for path_k, leaf in jax.tree_util.tree_flatten_with_path(q)[0]:
+        np.testing.assert_array_equal(leaf, np.asarray(ref_flat[path_k]))
+    assert set(s) == set(s_ref)
+    for k in s:
+        np.testing.assert_array_equal(s[k], s_ref[k])
+    assert st is not None
+
+    # artifact is ~4x smaller than the f32 params it came from
+    import os
+    assert os.path.getsize(path) < 0.35 * param_bytes(params)
+
+    # serving from the artifact == serving from in-memory quantization
+    ds = OrientationDataset.synthetic(samples_per_class=1, num_points=256)
+    clouds = np.asarray(ds.points[:2], np.float32)
+    p_mem = OrientationPredictor("pointnet_pp_8dir", params, stats,
+                                 quantize="int8", num_points=256, seed=0)
+    p_art = OrientationPredictor.from_quantized_checkpoint(
+        path, "pointnet_pp_8dir", num_points=256, seed=0)
+    np.testing.assert_allclose(
+        p_mem.forward_vectors(clouds), p_art.forward_vectors(clouds),
+        atol=1e-6)
+
+
 def test_int8_predictor_matches_f32():
     # realistic (synthetic-tree) clouds, the flagship 8-dir head
     ds = OrientationDataset.synthetic(samples_per_class=2, num_points=256)
