@@ -269,6 +269,11 @@ def main(argv=None):
     )
     ap.add_argument("--warmup-epochs", type=int, default=None,
                     dest="warmup_epochs")
+    ap.add_argument(
+        "--vmap-labels", action="store_true", dest="vmap_labels",
+        help="run the per-label protocol with ALL labels vmapped into one "
+             "program (equal-size label subsets; see train/ensemble.py)",
+    )
     args = ap.parse_args(argv)
 
     overrides = {}
@@ -295,7 +300,11 @@ def main(argv=None):
     out_dir = args.out or os.path.join(cfg.out_dir, args.preset)
 
     t0 = time.time()
-    if cfg.per_label:
+    if cfg.per_label and args.vmap_labels:
+        from .ensemble import run_per_label_vmapped
+
+        run_per_label_vmapped(cfg, dataset, out_dir)
+    elif cfg.per_label:
         run_per_label(cfg, dataset, out_dir, mesh)
     else:
         run_single(cfg, dataset, out_dir, mesh)
