@@ -11,22 +11,24 @@ express: ``jax.vmap`` over a stacked *model* axis turns the L per-label
 trainings into ONE XLA program — every step trains all L models at once on
 stacked parameters/optimizer states/residents, multiplying arithmetic
 intensity by L while keeping each label's math identical to its sequential
-run: per-label runs share the config, seed, subset size, and therefore the
-exact same PRNG streams and batch orders — the only thing that differs per
-label is the resident data, which is exactly the axis vmap maps over.
-Test-pinned three ways (``tests/test_ensemble.py``): at L=1 the vmapped
-program equals the sequential one to float noise; at L>=2 a label's result
-is INDEPENDENT of which labels co-train and of slot order (no leakage,
-asserted exactly); and vs the sequential protocol the L>=2 run sits within
-a ~1% envelope — batched kernels accumulate in a different order than
-unbatched ones, and that float noise can flip near-tied kNN neighbor
-selections (a discrete jump), the same sensitivity any numeric
-perturbation of the sequential run has.
+run: per-label runs share the config and seed, and therefore the exact
+same PRNG streams; the per-label resident data and batch index matrices
+are exactly the axes vmap maps over. Test-pinned
+(``tests/test_ensemble.py``): at L=1 the vmapped program equals the
+sequential one to float noise; at L>=2 a label's result is INDEPENDENT of
+which labels co-train and of slot order (no leakage, asserted exactly);
+and vs the sequential protocol the L>=2 run sits within a ~1% envelope —
+batched kernels accumulate in a different order than unbatched ones, and
+that float noise can flip near-tied kNN neighbor selections (a discrete
+jump), the same sensitivity any numeric perturbation of the sequential
+run has.
 
-v1 constraint: all label subsets must have the same sample count (true for
-the synthetic set and any `samples_per_class`-balanced source). Unequal
-real-data labels would need per-label padding with zeroed valid masks —
-diagnosed with a clear error, not silently mis-trained.
+Unequal label subsets (real ModelNet40 categories are unbalanced) are
+handled by padding: residents pad to the largest subset, shorter labels'
+epochs pad with all-invalid batches, and the trainer's empty-step freeze
+(`Trainer.enable_empty_step_freeze`) makes those padded steps bitwise
+no-ops — each label still sees exactly its sequential batch sequence,
+optimizer step count, and schedule position.
 """
 
 from __future__ import annotations
@@ -51,6 +53,31 @@ def _stack_tree(tree, L: int):
         lambda x: jnp.stack([jnp.asarray(x)] * L), tree)
 
 
+def _pad_rows(a: jax.Array, n: int) -> jax.Array:
+    """Pad the leading (sample) axis to ``n`` by repeating row 0. Padded
+    rows are never selected by any batch index matrix; they only make the
+    per-label residents stackable."""
+    if a.shape[0] == n:
+        return a
+    reps = jnp.broadcast_to(a[:1], (n - a.shape[0],) + a.shape[1:])
+    return jnp.concatenate([a, reps], axis=0)
+
+
+def _stack_batches(mats, valids, nb: int):
+    """Stack per-label (nb_l, B) index/valid matrices, padding shorter
+    labels with all-invalid batches (idx 0, valid 0)."""
+    B = mats[0].shape[1]
+    out_i, out_v = [], []
+    for im, vm in zip(mats, valids):
+        pad = nb - im.shape[0]
+        if pad:
+            im = jnp.concatenate([im, jnp.zeros((pad, B), im.dtype)])
+            vm = jnp.concatenate([vm, jnp.zeros((pad, B), vm.dtype)])
+        out_i.append(im)
+        out_v.append(vm)
+    return jnp.stack(out_i), jnp.stack(out_v)
+
+
 def run_per_label_vmapped(
     cfg,
     dataset: OrientationDataset,
@@ -67,30 +94,36 @@ def run_per_label_vmapped(
     labels = list(labels if labels is not None else dataset.class_names)
     L = len(labels)
     subsets = [dataset.select_classes([l]) for l in labels]
-    sizes = sorted({len(s) for s in subsets})
-    if len(sizes) != 1:
-        raise ValueError(
-            "run_per_label_vmapped needs equal-size label subsets (got "
-            f"sizes {sizes}); rebalance the source (samples_per_class) or "
-            "use the sequential run_per_label")
+    unequal = len({len(s) for s in subsets}) > 1
 
     sub_cfg = cfg.replace(classes=(labels[0],), per_label=False)
     template = Trainer(sub_cfg, subsets[0])
+    if unequal:
+        # padded epochs contain all-invalid batches; freeze makes them
+        # exact no-ops so each label trains as if run sequentially
+        template.enable_empty_step_freeze()
     epochs = sub_cfg.epochs
 
-    # per-label splits -> stacked device residents (the ONLY per-label data)
+    # per-label splits -> stacked device residents (padded to the largest)
     splits = [s.split(cfg.seed) for s in subsets]
 
     def stack_res(i):
         res = [template._resident(sp[i]) for sp in splits]
-        return {k: jnp.stack([r[k] for r in res]) for k in res[0]}
+        n_max = max(r["points"].shape[0] for r in res)
+        return {k: jnp.stack([_pad_rows(r[k], n_max) for r in res])
+                for k in res[0]}
 
     tr_res, va_res, te_res = stack_res(0), stack_res(1), stack_res(2)
     template._resident_cache.clear()  # drop the unstacked per-split copies
 
-    # batch index matrices are label-independent (same size, same seed)
-    tr0, va0, te0 = splits[0]
-    va_idx, va_valid = template._epoch_batches(va0, False, 0)
+    def label_batches(split_i: int, train: bool, epoch: int):
+        mats, valids = zip(*(
+            template._epoch_batches(sp[split_i], train, epoch)
+            for sp in splits))
+        nb = max(m.shape[0] for m in mats)
+        return _stack_batches(mats, valids, nb)
+
+    va_idx, va_valid = label_batches(1, False, 0)
 
     # stacked carry: identical init per label (same seed), then diverging
     state = _stack_tree(template.state, L)
@@ -103,7 +136,7 @@ def run_per_label_vmapped(
     vblock = jax.jit(
         jax.vmap(
             template._run_block,
-            in_axes=(0, 0, 0, None, None, None, None, None, None),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None),
         ),
         donate_argnums=(0,),
     )
@@ -116,12 +149,9 @@ def run_per_label_vmapped(
     while epoch <= epochs:
         e_hi = min(epoch + block - 1, epochs)
         nums = list(range(epoch, e_hi + 1))
-        tr_idx, tr_valid = [], []
-        for e in nums:
-            im, vm = template._epoch_batches(tr0, True, e)
-            tr_idx.append(im)
-            tr_valid.append(vm)
-        tr_idx, tr_valid = jnp.stack(tr_idx), jnp.stack(tr_valid)
+        per_epoch = [label_batches(0, True, e) for e in nums]
+        tr_idx = jnp.stack([im for im, _ in per_epoch], axis=1)  # (L,E,nb,B)
+        tr_valid = jnp.stack([vm for _, vm in per_epoch], axis=1)
         t0 = time.perf_counter()
         carry, stacked = vblock(
             carry, tr_res, va_res, tr_idx, tr_valid, va_idx, va_valid,
@@ -129,22 +159,22 @@ def run_per_label_vmapped(
         # metrics: (L, E, nb, B) per-sample losses/angles
         tper, tang, _, vper, vang, _ = (np.asarray(x) for x in stacked)
         dt = time.perf_counter() - t0
-        tvn = np.asarray(tr_valid)[None]  # (1, E, nb, B) same for all labels
-        vvn = np.asarray(va_valid)[None, None]
+        tvn = np.asarray(tr_valid)  # (L, E, nb, B)
+        vvn = np.asarray(va_valid)[:, None]  # (L, 1, nb, B)
         tmask = tvn / np.maximum(tvn.sum(axis=(-2, -1), keepdims=True), 1.0)
         vmask = vvn / np.maximum(vvn.sum(axis=(-2, -1), keepdims=True), 1.0)
         for li, l in enumerate(history):
             for j in range(len(nums)):
                 history[l]["train"].append(
-                    float((tper[li, j] * tmask[0, j]).sum()))
+                    float((tper[li, j] * tmask[li, j]).sum()))
                 history[l]["val"].append(
-                    float((vper[li, j] * vmask[0, 0]).sum()))
+                    float((vper[li, j] * vmask[li, 0]).sum()))
                 history[l]["train_ang"].append(
-                    float((tang[li, j] * tmask[0, j]).sum()))
+                    float((tang[li, j] * tmask[li, j]).sum()))
                 history[l]["val_ang"].append(
-                    float((vang[li, j] * vmask[0, 0]).sum()))
+                    float((vang[li, j] * vmask[li, 0]).sum()))
         if log_every and (e_hi % log_every == 0 or e_hi == epochs):
-            n_clouds = float(np.asarray(tr_valid).sum()) * L
+            n_clouds = float(np.asarray(tr_valid).sum())
             print(
                 f"Ep {e_hi:03}/{epochs} x {L} labels  "
                 f"{dt / len(nums):.3f}s/ep-block  "
@@ -157,15 +187,15 @@ def run_per_label_vmapped(
     bv, be = np.asarray(bv), np.asarray(be)
 
     # test phase: vmapped eval with each label's best params/stats restored
-    te_idx, te_valid = template._epoch_batches(te0, False, 0)
+    te_idx, te_valid = label_batches(2, False, 0)
     eval_key = jax.random.PRNGKey(cfg.seed * 104729 + 17)
     best_state = state.replace(params=bp, batch_stats=bs)
     tper, tang, _ = jax.vmap(
-        template._eval_epoch, in_axes=(0, 0, None, None, None)
+        template._eval_epoch, in_axes=(0, 0, 0, 0, None)
     )(best_state, te_res, te_idx, te_valid, eval_key)
     tper, tang = np.asarray(tper), np.asarray(tang)
-    te_v = np.asarray(te_valid)
-    te_w = te_v / max(te_v.sum(), 1.0)
+    te_v = np.asarray(te_valid)  # (L, nb, B)
+    te_w = te_v / np.maximum(te_v.sum(axis=(-2, -1), keepdims=True), 1.0)
 
     results = {}
     wall = time.time() - t_start
@@ -173,8 +203,8 @@ def run_per_label_vmapped(
         results[l] = {
             "best_val": float(bv[li]),
             "best_val_epoch": int(be[li]),
-            "test_loss": float((tper[li] * te_w).sum()),
-            "test_angular": float((tang[li] * te_w).sum()),
+            "test_loss": float((tper[li] * te_w[li]).sum()),
+            "test_angular": float((tang[li] * te_w[li]).sum()),
             "history": history[l],
         }
 

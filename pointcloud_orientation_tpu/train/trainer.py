@@ -109,6 +109,10 @@ class Trainer:
 
         self.num_points = num_points
         self.state = self._init_state()
+        # opt-in (enable_empty_step_freeze): treat all-invalid batches as
+        # exact no-ops inside the epoch scan — required by the vmapped
+        # per-label protocol when labels have unequal batch counts
+        self._freeze_empty_steps = False
         self._train_step, self._eval_step = self._make_step_fns()
         self._train_epoch, self._eval_epoch = self._make_epoch_fns()
         self._run_block = self._make_block_fn()
@@ -295,6 +299,7 @@ class Trainer:
         model, adapter, cfg, tx = self.model, self.adapter, self.cfg, self.tx
         has_bn = self.has_batch_stats
         mesh = self.mesh
+        freeze_empty = self._freeze_empty_steps
 
         def constrain(tree):
             if mesh is None:
@@ -366,13 +371,22 @@ class Trainer:
                 )(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
-                state = state.replace(
+                new_state = state.replace(
                     step=state.step + 1,
                     params=params,
                     opt_state=opt_state,
                     batch_stats=new_stats,
                 )
-                return state, outputs_metrics(outputs, batch, per)
+                if freeze_empty:
+                    # An all-invalid batch has zero gradient, but Adam
+                    # moments and BN stats would still move — select the
+                    # old state so padded steps are bitwise no-ops (the
+                    # vmapped protocol pads shorter labels' epochs).
+                    alive = jnp.sum(valid) > 0.0
+                    new_state = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(alive, n, o), new_state, state
+                    )
+                return new_state, outputs_metrics(outputs, batch, per)
 
             nb = idx_mat.shape[0]
             xs = (jnp.arange(nb), idx_mat, valid_mat)
@@ -396,6 +410,23 @@ class Trainer:
             return per, ang, labels
 
         return train_epoch, eval_epoch
+
+    def enable_empty_step_freeze(self):
+        """Rebuild the epoch/block programs so that a train batch whose
+        valid mask is all-zero leaves the carried state (params, optimizer
+        moments, BN stats, step/schedule count) bitwise unchanged.
+
+        Zero-valid batches never occur in normal training (``ds.batches``
+        only yields batches containing real samples); they appear only as
+        epoch padding when the vmapped per-label protocol
+        (`train/ensemble.py`) stacks labels with unequal batch counts, so
+        the select is opt-in and the default program is unchanged.
+        """
+        if self._freeze_empty_steps:
+            return
+        self._freeze_empty_steps = True
+        self._train_epoch, self._eval_epoch = self._make_epoch_fns()
+        self._run_block = self._make_block_fn()
 
     def _make_block_fn(self):
         """One jitted program per BLOCK of epochs: an outer lax.scan over

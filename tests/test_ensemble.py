@@ -8,15 +8,14 @@ reduction-order float noise (batched kernels may accumulate in a different
 order than unbatched ones — at any matmul precision), which training
 amplifies chaotically, so the multi-epoch run is pinned on protocol
 behavior (artifacts, monotone usable histories) rather than bitwise loss.
-Also pins the equal-size guard.
+Unequal label subsets are pinned against sequential runs (padded epochs
+must be no-ops via the trainer's empty-step freeze).
 """
 
 import json
 
 import jax
 import numpy as np
-import pytest
-
 from pointcloud_orientation_tpu.data import OrientationDataset
 from pointcloud_orientation_tpu.train import Trainer, preset
 from pointcloud_orientation_tpu.train.ensemble import run_per_label_vmapped
@@ -112,13 +111,79 @@ def test_vmapped_protocol_multi_epoch_artifacts(tmp_path):
     assert len(m["history"]["val"]) == 4 and "test" in m
 
 
-def test_vmapped_rejects_unequal_subsets():
-    cfg = _cfg(epochs=2)
-    ds = _ds()
-    smaller = ds.select_classes(["chair", "bottle"])
-    # drop one sample of the first class -> unequal label sizes
-    keep = np.ones(len(smaller), bool)
-    keep[np.argmax(smaller.labels == smaller.labels[0])] = False
-    unequal = smaller.subset(np.nonzero(keep)[0])
-    with pytest.raises(ValueError, match="equal-size"):
-        run_per_label_vmapped(cfg, unequal, labels=["chair", "bottle"])
+def _unequal_ds(drop: int = 6):
+    """Synthetic set with `drop` fewer chair samples -> unequal subsets
+    whose train splits have DIFFERENT batch counts at batch_size=4."""
+    ds = OrientationDataset.synthetic(samples_per_class=16, num_points=160)
+    keep = np.ones(len(ds), bool)
+    chair_rows = np.nonzero(ds.labels == ds.class_names.index("chair"))[0]
+    keep[chair_rows[:drop]] = False
+    return ds.subset(np.nonzero(keep)[0])
+
+
+def test_vmapped_unequal_subsets_padding_is_noop():
+    """Unbalanced labels (real ModelNet40) pad shorter labels' epochs with
+    all-invalid batches made no-ops by the trainer's empty-step freeze.
+
+    The definitive in-situ pin: chair trained in a PADDED slot (mixed with
+    the larger bottle subset, nb 2->3 + freeze) must equal chair trained
+    with UNPADDED slots (chair-chair dup, no padding, no freeze) —
+    observed agreement 9e-8 at epoch 1, 3e-4 at epoch 2 (two different
+    compiled programs; pure float noise). The freeze itself is pinned
+    bitwise by test_empty_step_freeze_is_exact_noop. vs the sequential
+    protocol only a loose envelope holds: at these tiny shapes (batch 4,
+    1-2 sample val splits) batched-kernel reduction-order noise flips
+    near-tied kNN neighbors and drifts ~1-3% per epoch.
+    """
+    cfg = preset("axes_all_labels").replace(
+        num_points=128, batch_size=4, epochs=2)
+    ds = _unequal_ds()
+    sizes = {l: len(ds.select_classes([l])) for l in ("chair", "bottle")}
+    assert sizes["chair"] != sizes["bottle"]  # the premise
+    dup = run_per_label_vmapped(cfg, ds, labels=["chair", "chair"],
+                                log_every=0)
+    mix = run_per_label_vmapped(cfg, ds, labels=["chair", "bottle"],
+                                log_every=0)
+    np.testing.assert_allclose(
+        mix["chair"]["history"]["val"], dup["chair"]["history"]["val"],
+        rtol=1e-2)
+    np.testing.assert_allclose(
+        mix["chair"]["best_val"], dup["chair"]["best_val"], rtol=1e-2)
+    for label in ("chair", "bottle"):
+        t = Trainer(cfg.replace(classes=(label,), per_label=False),
+                    ds.select_classes([label]))
+        t.fit(log_every=0)
+        np.testing.assert_allclose(
+            mix[label]["best_val"], t.best_val, rtol=2e-1)
+
+
+def test_empty_step_freeze_is_exact_noop():
+    """An appended all-invalid batch must leave params, optimizer moments
+    and step count bitwise unchanged under enable_empty_step_freeze."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(epochs=1)
+    ds = _ds().select_classes(["chair"])
+    t = Trainer(cfg.replace(classes=("chair",), per_label=False), ds)
+    t.enable_empty_step_freeze()
+    res = t._resident(t.train_ds)
+    idx, valid = t._epoch_batches(t.train_ds, True, 1)
+    pad_i = jnp.concatenate([idx, jnp.zeros((1,) + idx.shape[1:], idx.dtype)])
+    pad_v = jnp.concatenate(
+        [valid, jnp.zeros((1,) + valid.shape[1:], valid.dtype)])
+    key = jax.random.PRNGKey(0)
+
+    def run(im, vm):
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), t.state)
+        out, *_ = t._train_epoch(state, res, im, vm, key)
+        return out
+
+    a, b = run(idx, valid), run(pad_i, pad_v)
+    assert int(a.step) == int(b.step)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        (a.params, a.opt_state, a.batch_stats),
+        (b.params, b.opt_state, b.batch_stats))
