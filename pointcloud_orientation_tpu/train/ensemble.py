@@ -63,6 +63,19 @@ def _pad_rows(a: jax.Array, n: int) -> jax.Array:
     return jnp.concatenate([a, reps], axis=0)
 
 
+def _shard_L(tree, mesh, axis: str):
+    """Shard every leaf's leading (label) axis over ``mesh[axis]``. The
+    per-label trainings are independent, so XLA partitions the vmapped
+    program over labels with ZERO collectives — the protocol weak-scales
+    across chips like a DP mesh scales batches."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
 def _stack_batches(mats, valids, nb: int):
     """Stack per-label (nb_l, B) index/valid matrices, padding shorter
     labels with all-invalid batches (idx 0, valid 0)."""
@@ -84,8 +97,13 @@ def run_per_label_vmapped(
     out_dir: Optional[str] = None,
     labels: Optional[Sequence[str]] = None,
     log_every: int = 50,
+    mesh=None,
 ) -> Dict[str, dict]:
     """Train one model per label, all labels vmapped into one program.
+
+    With ``mesh`` (any mesh whose FIRST axis divides the label count) the
+    stacked label axis is sharded over that axis: each chip trains its
+    slice of the labels, no communication (see :func:`_shard_L`).
 
     Returns ``{label: {"best_val", "best_val_epoch", "test_loss",
     "test_angular", "history"}}`` and (if ``out_dir``) writes the
@@ -93,6 +111,13 @@ def run_per_label_vmapped(
     """
     labels = list(labels if labels is not None else dataset.class_names)
     L = len(labels)
+    axis = None
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        if L % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"label count {L} must divide over mesh axis "
+                f"'{axis}' of size {mesh.shape[axis]}")
     subsets = [dataset.select_classes([l]) for l in labels]
     unequal = len({len(s) for s in subsets}) > 1
 
@@ -113,7 +138,8 @@ def run_per_label_vmapped(
         return {k: jnp.stack([_pad_rows(r[k], n_max) for r in res])
                 for k in res[0]}
 
-    tr_res, va_res, te_res = stack_res(0), stack_res(1), stack_res(2)
+    tr_res, va_res, te_res = (
+        _shard_L(stack_res(i), mesh, axis) for i in range(3))
     template._resident_cache.clear()  # drop the unstacked per-split copies
 
     def label_batches(split_i: int, train: bool, epoch: int):
@@ -123,7 +149,7 @@ def run_per_label_vmapped(
         nb = max(m.shape[0] for m in mats)
         return _stack_batches(mats, valids, nb)
 
-    va_idx, va_valid = label_batches(1, False, 0)
+    va_idx, va_valid = _shard_L(label_batches(1, False, 0), mesh, axis)
 
     # stacked carry: identical init per label (same seed), then diverging
     state = _stack_tree(template.state, L)
@@ -131,7 +157,7 @@ def run_per_label_vmapped(
     bp = _stack_tree(template.state.params, L)
     bs = _stack_tree(template.state.batch_stats, L)
     be = jnp.zeros((L,), jnp.int32)
-    carry = (state, bv, bp, bs, be)
+    carry = _shard_L((state, bv, bp, bs, be), mesh, axis)
 
     vblock = jax.jit(
         jax.vmap(
@@ -152,6 +178,7 @@ def run_per_label_vmapped(
         per_epoch = [label_batches(0, True, e) for e in nums]
         tr_idx = jnp.stack([im for im, _ in per_epoch], axis=1)  # (L,E,nb,B)
         tr_valid = jnp.stack([vm for _, vm in per_epoch], axis=1)
+        tr_idx, tr_valid = _shard_L((tr_idx, tr_valid), mesh, axis)
         t0 = time.perf_counter()
         carry, stacked = vblock(
             carry, tr_res, va_res, tr_idx, tr_valid, va_idx, va_valid,
@@ -187,7 +214,7 @@ def run_per_label_vmapped(
     bv, be = np.asarray(bv), np.asarray(be)
 
     # test phase: vmapped eval with each label's best params/stats restored
-    te_idx, te_valid = label_batches(2, False, 0)
+    te_idx, te_valid = _shard_L(label_batches(2, False, 0), mesh, axis)
     eval_key = jax.random.PRNGKey(cfg.seed * 104729 + 17)
     best_state = state.replace(params=bp, batch_stats=bs)
     tper, tang, _ = jax.vmap(

@@ -303,7 +303,7 @@ def main(argv=None):
     if cfg.per_label and args.vmap_labels:
         from .ensemble import run_per_label_vmapped
 
-        run_per_label_vmapped(cfg, dataset, out_dir)
+        run_per_label_vmapped(cfg, dataset, out_dir, mesh=mesh)
     elif cfg.per_label:
         run_per_label(cfg, dataset, out_dir, mesh)
     else:
