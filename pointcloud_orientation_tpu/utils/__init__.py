@@ -12,6 +12,11 @@ from .torch_export import (
     to_torch_state_dict,
 )
 from .profiling import StepTimer, trace_annotation
+from .stablehlo_export import (
+    export_orientation_model,
+    load_artifact,
+    save_artifact,
+)
 from .quantize import (
     dequantize_params,
     load_quantized_checkpoint,
@@ -32,6 +37,9 @@ __all__ = [
     "to_torch_state_dict",
     "StepTimer",
     "trace_annotation",
+    "export_orientation_model",
+    "save_artifact",
+    "load_artifact",
     "quantize_params_int8",
     "dequantize_params",
     "param_bytes",
