@@ -14,6 +14,12 @@ from .pp import (
     split_pipeline_params,
 )
 from .tp import make_tp_train_step, shard_tp_params, tp_param_specs
+from .multihost import (
+    global_batch_from_local,
+    initialize as initialize_multihost,
+    make_hybrid_mesh,
+    process_local_slice,
+)
 
 __all__ = [
     "make_mesh",
@@ -34,4 +40,8 @@ __all__ = [
     "fsdp_param_specs",
     "shard_fsdp_params",
     "make_fsdp_train_step",
+    "initialize_multihost",
+    "make_hybrid_mesh",
+    "process_local_slice",
+    "global_batch_from_local",
 ]
