@@ -3,6 +3,7 @@ from .config import TrainConfig, PRESETS, preset
 from .tasks import TASKS, TaskAdapter
 from .trainer import Trainer, TrainState
 from .metrics import MetricsAccumulator, write_summary_txt
+from .reliability import PreemptionGuard
 
 __all__ = [
     "TrainConfig",
@@ -16,4 +17,5 @@ __all__ = [
     "write_summary_txt",
     "accumulated_value_and_grad",
     "make_accum_train_step",
+    "PreemptionGuard",
 ]

@@ -69,6 +69,7 @@ class TrainConfig:
     # runtime
     out_dir: str = "results"
     checkpoint_every: int = 0  # epochs between mid-run checkpoints (0 = off)
+    async_checkpoint: bool = False  # overlap periodic checkpoint writes with training
     keep_best: bool = True
     debug_checks: bool = False  # per-step finite checks (the _debug harness)
     bn_sync_axis: Optional[str] = None

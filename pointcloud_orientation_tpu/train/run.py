@@ -162,8 +162,15 @@ def _write_8dir_distribution_summary(trainer, out_dir: str, max_count: int = 128
 
 
 def run_single(cfg, dataset, out_dir: str, mesh=None, label: Optional[str] = None):
+    from .reliability import PreemptionGuard
+
     trainer = Trainer(cfg, dataset, mesh=mesh)
-    trainer.fit(checkpoint_dir=os.path.join(out_dir, "ckpt") if cfg.checkpoint_every else None)
+    with PreemptionGuard() as guard:
+        trainer.fit(
+            checkpoint_dir=os.path.join(out_dir, "ckpt")
+            if cfg.checkpoint_every else None,
+            preemption_guard=guard,
+        )
     test_acc = trainer.test()
     trainer.write_artifacts(out_dir, test_acc)
     export_test_predictions(trainer, os.path.join(out_dir, "pred_ply"))
@@ -260,6 +267,11 @@ def main(argv=None):
              "O(N) memory; the N>16k single-chip path)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument(
+        "--async-checkpoint", action="store_true", dest="async_checkpoint",
+        help="overlap periodic checkpoint writes with training (Orbax "
+             "AsyncCheckpointer); fit() waits for the last write",
+    )
     ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
     ap.add_argument("--debug-checks", action="store_true")
     ap.add_argument(
@@ -287,6 +299,8 @@ def main(argv=None):
         overrides["classes"] = tuple(args.classes.split(","))
     if args.debug_checks:
         overrides["debug_checks"] = True
+    if args.async_checkpoint:
+        overrides["async_checkpoint"] = True
     if args.data.startswith("plygt:"):
         overrides["rotation_mode"] = "none"
     cfg = preset(args.preset, **overrides)

@@ -132,6 +132,7 @@ class Trainer:
         self.best_batch_stats = None
         self.best_val_epoch: Optional[int] = None
         self.timings: Dict[str, float] = {}
+        self._async_ckptr = None
 
     # ---------- construction ----------
 
@@ -473,7 +474,13 @@ class Trainer:
 
         return run_block
 
-    def _fit_blocks(self, epochs: int, log_every: int, start_epoch: int):
+    def _fit_blocks(
+        self,
+        epochs: int,
+        log_every: int,
+        start_epoch: int,
+        preemption_guard=None,
+    ):
         """Block-scanned fit: identical epoch math and PRNG streams to the
         per-epoch path (keys are built from absolute epoch numbers inside
         the scan), with best-val selection on device in f32."""
@@ -544,6 +551,9 @@ class Trainer:
                         f"({self.timings['train_clouds_per_sec']:.0f} clouds/s)"
                     )
             epoch = e_hi + 1
+            if preemption_guard is not None and preemption_guard.requested:
+                print(f"[preempt] graceful stop after epoch {e_hi}")
+                break
 
         self.state, bv, bp, bs, be = carry
         bv = float(np.asarray(bv))
@@ -762,18 +772,26 @@ class Trainer:
         log_every: int = 1,
         checkpoint_dir: Optional[str] = None,
         start_epoch: int = 1,
+        preemption_guard=None,
     ) -> Dict[str, List[float]]:
         """Run the train/val protocol from ``start_epoch`` to ``epochs``
         (inclusive). Resuming with ``start_epoch = k`` after
         ``restore_checkpoint`` reproduces an uninterrupted run exactly: the
-        per-epoch PRNG streams are keyed by the absolute epoch number."""
+        per-epoch PRNG streams are keyed by the absolute epoch number.
+
+        ``preemption_guard`` (a :class:`~.reliability.PreemptionGuard`) is
+        polled at epoch/block boundaries; when it fires, the run saves a
+        final checkpoint (if ``checkpoint_dir`` is set) and returns early
+        with a consistent history, ready for a ``start_epoch`` resume."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         # Fast path: whole blocks of epochs in one device program. Falls back
         # to the per-epoch loop when host-side work is required every epoch
         # (per-step debug checks, periodic checkpoint writes).
         if not cfg.debug_checks and not (checkpoint_dir and cfg.checkpoint_every):
-            return self._fit_blocks(epochs, log_every, start_epoch)
+            return self._fit_blocks(
+                epochs, log_every, start_epoch, preemption_guard
+            )
         t_start = time.time()
         for epoch in range(start_epoch, epochs + 1):
             t_ep = time.time()
@@ -801,7 +819,18 @@ class Trainer:
             if checkpoint_dir and cfg.checkpoint_every and (
                 epoch % cfg.checkpoint_every == 0
             ):
-                self.save_checkpoint(checkpoint_dir, step=epoch)
+                self.save_checkpoint(
+                    checkpoint_dir, step=epoch, asynchronous=cfg.async_checkpoint
+                )
+
+            if preemption_guard is not None and preemption_guard.requested:
+                if checkpoint_dir:
+                    self.save_checkpoint(checkpoint_dir, step=epoch)
+                print(
+                    f"[preempt] graceful stop after epoch {epoch}"
+                    + (f"; checkpoint in {checkpoint_dir}" if checkpoint_dir else "")
+                )
+                break
 
             if log_every and epoch % log_every == 0:
                 elapsed = time.time() - t_ep
@@ -813,6 +842,7 @@ class Trainer:
                     f"{elapsed:.1f}s  ETA {eta / 60:.1f}m  "
                     f"({self.timings['train_clouds_per_sec']:.0f} clouds/s)"
                 )
+        self.wait_for_checkpoints()
         return self.history
 
     def load_best(self):
@@ -881,9 +911,20 @@ class Trainer:
 
     # ---------- checkpointing ----------
 
-    def save_checkpoint(self, directory: str, step: Optional[int] = None):
+    def save_checkpoint(
+        self,
+        directory: str,
+        step: Optional[int] = None,
+        asynchronous: bool = False,
+    ):
         """Orbax checkpoint of params + BN stats + optimizer state — the
-        mid-run checkpoint/resume path the reference lacks (SURVEY.md §5)."""
+        mid-run checkpoint/resume path the reference lacks (SURVEY.md §5).
+
+        ``asynchronous=True`` overlaps the disk write with training (the
+        device fetch is still synchronous — required for remote-TPU
+        correctness); call :meth:`wait_for_checkpoints` (``fit`` does)
+        before relying on the files.
+        """
         import orbax.checkpoint as ocp
 
         directory = os.path.abspath(directory)
@@ -897,9 +938,23 @@ class Trainer:
             "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
             "step": np.asarray(self.state.step),
         }
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, ckpt, force=True)
+        if asynchronous:
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler()
+                )
+            self._async_ckptr.save(
+                path, args=ocp.args.PyTreeSave(ckpt), force=True
+            )
+        else:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path, ckpt, force=True)
         return path
+
+    def wait_for_checkpoints(self):
+        """Block until every asynchronous checkpoint write has committed."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
