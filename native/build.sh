@@ -4,5 +4,5 @@
 # (everything falls back to pure NumPy when the library is absent).
 set -euo pipefail
 cd "$(dirname "$0")"
-g++ -O3 -march=native -shared -fPIC -o libfastply.so fastply.cc
+g++ -O3 -march=native -shared -fPIC -pthread -o libfastply.so fastply.cc
 echo "built $(pwd)/libfastply.so"

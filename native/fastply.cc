@@ -9,14 +9,18 @@
 // C ABI (consumed via ctypes from
 // pointcloud_orientation_tpu/data/fastply.py):
 //   float* fastply_read(const char* path, long long* n_out, long long* c_out);
+//   long long fastply_read_bulk(const char** paths, long long n, int nthreads,
+//                               float** outs, long long* ns, long long* cs);
 //   void   fastply_free(float* ptr);
 //
-// Build: native/build.sh  (g++ -O3 -shared -fPIC)
+// Build: native/build.sh  (g++ -O3 -shared -fPIC -pthread)
 
+#include <atomic>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -43,11 +47,8 @@ bool parse_header(FILE* f, long long* n_vertex, long long* n_props) {
   return false;
 }
 
-}  // namespace
-
-extern "C" {
-
-float* fastply_read(const char* path, long long* n_out, long long* c_out) {
+// Single-file parse; shared by the scalar and bulk entry points.
+float* read_one(const char* path, long long* n_out, long long* c_out) {
   *n_out = 0;
   *c_out = 0;
   FILE* f = std::fopen(path, "rb");
@@ -91,6 +92,42 @@ float* fastply_read(const char* path, long long* n_out, long long* c_out) {
   *n_out = n_vertex;
   *c_out = n_props;
   return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+float* fastply_read(const char* path, long long* n_out, long long* c_out) {
+  return read_one(path, n_out, c_out);
+}
+
+// Parse n files with a work-stealing thread pool (dataset materialization
+// is parse-bound; the per-file work is independent and GIL-free through
+// ctypes, so host cores scale it near-linearly). outs/ns/cs are
+// caller-allocated length-n arrays; failed files get outs[i] = nullptr.
+// Returns the number of successfully parsed files.
+long long fastply_read_bulk(const char** paths, long long n, int nthreads,
+                            float** outs, long long* ns, long long* cs) {
+  if (n <= 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (nthreads <= 0) nthreads = hw ? static_cast<int>(hw) : 4;
+  if (nthreads > n) nthreads = static_cast<int>(n);
+
+  std::atomic<long long> next(0), ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      long long i = next.fetch_add(1);
+      if (i >= n) return;
+      outs[i] = read_one(paths[i], &ns[i], &cs[i]);
+      if (outs[i]) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
 }
 
 void fastply_free(float* ptr) { std::free(ptr); }

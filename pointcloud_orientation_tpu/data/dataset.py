@@ -114,47 +114,56 @@ class OrientationDataset:
             "axes": [], "probs_8dir": [], "vm_mu": [], "vm_kappa": [],
             "mvm_mu": [], "mvm_kappa": [], "mvm_weight": [], "mvm_k": [],
         }
+        # Collect every file first so the parse can go through the native
+        # bulk reader (all host cores, GIL-free); the sampling RNG stream
+        # is untouched because the iteration order below is unchanged.
+        files = []
         for ci, name in enumerate(names):
             cdir = os.path.join(root, name)
             for fname in sorted(os.listdir(cdir)):
-                if not fname.endswith(".ply"):
-                    continue
-                path = os.path.join(cdir, fname)
-                pts = read_ply(path)[:, :3]
-                if pts.shape[0] >= num_points:
-                    idx = rng.choice(pts.shape[0], num_points, replace=False)
-                else:
-                    idx = rng.choice(pts.shape[0], num_points, replace=True)
-                clouds.append(pts[idx].astype(np.float32))
-                labels.append(ci)
-                if not load_sidecars:
-                    continue
-                stem = path[: -len(".ply")]
-                try:
-                    axes = read_axes_txt(stem + ".txt")
-                except (OSError, ValueError):
-                    axes = np.eye(3, dtype=np.float32)[[0, 1, 2]] * np.asarray(
-                        [[-1], [1], [-1]], np.float32
-                    )
-                tg["axes"].append(axes)
-                try:
-                    probs = read_8dir_txt(stem + "_8dir.txt")
-                except (OSError, ValueError):
-                    probs = np.full(8, 0.125, np.float32)
-                tg["probs_8dir"].append(probs)
-                mu, kappa = read_single_peak_vm_txt(stem + "_single_peak_vM_gt.txt")
-                tg["vm_mu"].append(mu)
-                tg["vm_kappa"].append(kappa)
-                try:
-                    params, k = read_multi_peak_vm_txt(
-                        stem + "_multi_peak_vM_gt.txt", max_k
-                    )
-                except OSError:
-                    params, k = np.zeros((max_k, 3), np.float32), 0
-                tg["mvm_mu"].append(params[:, 0])
-                tg["mvm_kappa"].append(params[:, 1])
-                tg["mvm_weight"].append(params[:, 2])
-                tg["mvm_k"].append(k)
+                if fname.endswith(".ply"):
+                    files.append((ci, os.path.join(cdir, fname)))
+        from .fastply import try_read_ply_bulk_native
+
+        parsed = try_read_ply_bulk_native([p for _, p in files])
+        for fi, (ci, path) in enumerate(files):
+            pts = parsed[fi] if parsed is not None and parsed[fi] is not None \
+                else read_ply(path)
+            pts = pts[:, :3]
+            if pts.shape[0] >= num_points:
+                idx = rng.choice(pts.shape[0], num_points, replace=False)
+            else:
+                idx = rng.choice(pts.shape[0], num_points, replace=True)
+            clouds.append(pts[idx].astype(np.float32))
+            labels.append(ci)
+            if not load_sidecars:
+                continue
+            stem = path[: -len(".ply")]
+            try:
+                axes = read_axes_txt(stem + ".txt")
+            except (OSError, ValueError):
+                axes = np.eye(3, dtype=np.float32)[[0, 1, 2]] * np.asarray(
+                    [[-1], [1], [-1]], np.float32
+                )
+            tg["axes"].append(axes)
+            try:
+                probs = read_8dir_txt(stem + "_8dir.txt")
+            except (OSError, ValueError):
+                probs = np.full(8, 0.125, np.float32)
+            tg["probs_8dir"].append(probs)
+            mu, kappa = read_single_peak_vm_txt(stem + "_single_peak_vM_gt.txt")
+            tg["vm_mu"].append(mu)
+            tg["vm_kappa"].append(kappa)
+            try:
+                params, k = read_multi_peak_vm_txt(
+                    stem + "_multi_peak_vM_gt.txt", max_k
+                )
+            except OSError:
+                params, k = np.zeros((max_k, 3), np.float32), 0
+            tg["mvm_mu"].append(params[:, 0])
+            tg["mvm_kappa"].append(params[:, 1])
+            tg["mvm_weight"].append(params[:, 2])
+            tg["mvm_k"].append(k)
         targets = None
         if load_sidecars and clouds:
             targets = {k: np.asarray(v, dtype=np.float32) for k, v in tg.items()}
