@@ -69,7 +69,7 @@ def export_orientation_model(
     params: Dict,
     batch_stats: Optional[Dict] = None,
     *,
-    batch_size: int,
+    batch_size: Optional[int],
     num_points: int = 1024,
     platforms: Sequence[str] = ("cpu", "tpu"),
     use_pallas: bool = False,
@@ -81,6 +81,13 @@ def export_orientation_model(
     the exported callable takes exactly one argument, the point clouds
     ``(batch_size, num_points, 3) float32``, and returns the model's
     native eval output (e.g. 8-dir logits).
+
+    ``batch_size=None`` exports a shape-polymorphic artifact (symbolic
+    batch dimension): one file serves ANY batch size. Best for CPU
+    fallback hosts — on TPU each distinct batch still compiles its own
+    program at load time, so fixed buckets (the
+    :class:`~pointcloud_orientation_tpu.infer.OrientationPredictor`
+    strategy) remain the serving-latency answer there.
     """
     from jax import export as jax_export
 
@@ -95,7 +102,11 @@ def export_orientation_model(
     def forward(pts):
         return model.apply(variables, pts, train=False)
 
-    spec = jax.ShapeDtypeStruct((batch_size, num_points, 3), jnp.float32)
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, num_points, 3), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((batch_size, num_points, 3), jnp.float32)
     kwargs: Dict[str, Any] = {"platforms": list(platforms)}
     if use_pallas:
         # Mosaic kernels arrive as tpu_custom_call; exporting them is an
@@ -133,7 +144,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("checkpoint", help="Orbax checkpoint dir or torch .pth")
     p.add_argument("output", help="output artifact path (.stablehlo)")
     p.add_argument("--model", default="pointnet_pp_8dir")
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument(
+        "--batch-size", type=int, default=64,
+        help="fixed batch dimension; 0 = shape-polymorphic (any batch)",
+    )
     p.add_argument("--num-points", type=int, default=1024)
     p.add_argument(
         "--platforms", default="cpu,tpu",
@@ -160,16 +174,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         args.model,
         params,
         stats,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or None,
         num_points=args.num_points,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         use_pallas=args.pallas,
     )
     save_artifact(args.output, exported)
     size = len(exported.serialize())
+    batch_str = str(args.batch_size) if args.batch_size else "b"
     print(
         f"wrote {args.output}: model={args.model} "
-        f"shape=({args.batch_size},{args.num_points},3) "
+        f"shape=({batch_str},{args.num_points},3) "
         f"platforms={exported.platforms} bytes={size}"
     )
 

@@ -86,6 +86,29 @@ def test_deterministic_without_sampling_rng(model_and_vars):
     np.testing.assert_array_equal(a, b)
 
 
+def test_shape_polymorphic_batch(model_and_vars, tmp_path):
+    """batch_size=None => one artifact serves any batch size."""
+    model, variables, x = model_and_vars
+    exported = export_orientation_model(
+        "pointnet_pp_8dir",
+        variables["params"],
+        variables.get("batch_stats"),
+        batch_size=None,
+        num_points=N,
+        platforms=("cpu",),
+    )
+    path = str(tmp_path / "poly.stablehlo")
+    save_artifact(path, exported)
+    restored = load_artifact(path)
+    for b in (1, 2, 5):
+        xb = jax.random.normal(jax.random.PRNGKey(b), (b, N, 3), jnp.float32)
+        direct = model.apply(variables, xb, train=False)
+        np.testing.assert_allclose(
+            np.asarray(restored.call(xb)), np.asarray(direct),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_cli_from_orbax_checkpoint(model_and_vars, tmp_path):
     model, variables, x = model_and_vars
     import orbax.checkpoint as ocp
