@@ -51,8 +51,14 @@ class OrientationPredictor:
         seed: int = 0,
         quantize: Optional[str] = None,
         scales: Optional[Dict] = None,
+        mesh=None,
+        mesh_axis: str = "data",
         **model_kwargs: Any,
     ):
+        """``mesh``/``mesh_axis``: optional multi-chip serving — weights are
+        replicated over the mesh and each request's bucket batch is sharded
+        over ``mesh_axis`` (XLA data-parallel inference; buckets round up to
+        a multiple of the axis size so shards stay static-shaped)."""
         self.model = MODEL_REGISTRY[model_name](**model_kwargs)
         self.model_name = model_name
         self.num_points = num_points
@@ -71,6 +77,20 @@ class OrientationPredictor:
         if batch_stats:
             self.variables["batch_stats"] = batch_stats
         self._rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self._in_sharding = None
+        self._axis_size = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self.variables = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, self.variables), replicated
+            )
+            if self._scales is not None:
+                self._scales = jax.device_put(self._scales, replicated)
+            self._in_sharding = NamedSharding(mesh, P(mesh_axis))
+            self._axis_size = mesh.shape[mesh_axis]
 
         @functools.partial(jax.jit, static_argnames=())
         def _apply(variables, scales, pts, rng):
@@ -123,10 +143,10 @@ class OrientationPredictor:
     # ---------- serving ----------
 
     def _bucket(self, b: int) -> int:
-        bucket = 1
+        bucket = self._axis_size  # each mesh shard gets an equal static slice
         while bucket < b:
             bucket *= 2
-        return min(bucket, self.max_batch)
+        return min(bucket, max(self.max_batch, self._axis_size))
 
     def __call__(self, clouds: np.ndarray):
         """Run the model on ``(B, N, 3)`` clouds (any B <= max_batch, any N);
@@ -152,7 +172,10 @@ class OrientationPredictor:
             pad = np.repeat(clouds[:1], bucket - b, axis=0)
             clouds = np.concatenate([clouds, pad], axis=0)
         self._rng, sub = jax.random.split(self._rng)
-        out = self._apply(self.variables, self._scales, jnp.asarray(clouds), sub)
+        pts = jnp.asarray(clouds)
+        if self._in_sharding is not None:
+            pts = jax.device_put(pts, self._in_sharding)
+        out = self._apply(self.variables, self._scales, pts, sub)
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:b], out)
 
     def forward_vectors(self, clouds: np.ndarray) -> np.ndarray:

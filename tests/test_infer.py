@@ -90,3 +90,25 @@ def test_export_pth_roundtrip_through_predictor(tmp_path):
     got = np.asarray(pred(clouds))
     expect = np.asarray(direct(clouds))
     np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_mesh_sharded_serving_matches_single_device(rng):
+    """mesh= shards each bucket over the data axis; results must match the
+    unsharded predictor (weights replicated, pure DP inference)."""
+    from pointcloud_orientation_tpu.parallel import make_mesh
+
+    mesh = make_mesh(("data",), (8,))
+    single = _make_predictor("pointnet_pp_8dir", PointNetPP8Dir, seed=7)
+    sharded = _make_predictor(
+        "pointnet_pp_8dir", PointNetPP8Dir, seed=7, mesh=mesh
+    )
+    clouds = rng.normal(size=(5, 128, 3)).astype(np.float32)  # pads to 8
+    a = single(clouds)
+    b = sharded(clouds)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+    # sharded path also serves batches above the axis size
+    big = rng.normal(size=(13, 128, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(single(big)), np.asarray(sharded(big)), rtol=2e-4, atol=2e-4
+    )
