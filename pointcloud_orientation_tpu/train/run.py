@@ -268,6 +268,11 @@ def main(argv=None):
     )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument(
+        "--profile-dir", default=None, dest="profile_dir",
+        help="capture a jax.profiler trace of the run into this directory "
+             "(view with TensorBoard/XProf)",
+    )
+    ap.add_argument(
         "--async-checkpoint", action="store_true", dest="async_checkpoint",
         help="overlap periodic checkpoint writes with training (Orbax "
              "AsyncCheckpointer); fit() waits for the last write",
@@ -314,14 +319,22 @@ def main(argv=None):
     out_dir = args.out or os.path.join(cfg.out_dir, args.preset)
 
     t0 = time.time()
-    if cfg.per_label and args.vmap_labels:
-        from .ensemble import run_per_label_vmapped
+    import contextlib
 
-        run_per_label_vmapped(cfg, dataset, out_dir, mesh=mesh)
-    elif cfg.per_label:
-        run_per_label(cfg, dataset, out_dir, mesh)
-    else:
-        run_single(cfg, dataset, out_dir, mesh)
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        from ..utils.profiling import capture_trace
+
+        profile_ctx = capture_trace(args.profile_dir)
+    with profile_ctx:
+        if cfg.per_label and args.vmap_labels:
+            from .ensemble import run_per_label_vmapped
+
+            run_per_label_vmapped(cfg, dataset, out_dir, mesh=mesh)
+        elif cfg.per_label:
+            run_per_label(cfg, dataset, out_dir, mesh)
+        else:
+            run_single(cfg, dataset, out_dir, mesh)
     print(f"done in {(time.time() - t0) / 60:.1f} min; artifacts in {out_dir}")
 
 
