@@ -15,6 +15,8 @@ from .geometry import (
     random_sample_indices,
     sample_and_group,
     group_all,
+    set_pallas_mode,
+    set_knn_impl,
 )
 from .von_mises import (
     kl_von_mises,
@@ -45,6 +47,8 @@ __all__ = [
     "random_sample_indices",
     "sample_and_group",
     "group_all",
+    "set_pallas_mode",
+    "set_knn_impl",
     "kl_von_mises",
     "wrap_angle",
     "log_i0",

@@ -72,6 +72,39 @@ def set_pallas_mode(mode: str) -> None:
     _PALLAS_MODE = mode
 
 
+# Opt-in approximate kNN via jax.lax.approx_min_k (the TPU PartialReduce
+# hardware top-k). Default "exact" keeps reference grouping semantics
+# (`models/base.py:29-35`); "approx" is an opt-in large-N speedup like
+# bf16: at the reference's canonical N=10,000 the selection runs 1.8x
+# faster than the fused Pallas passes and 13.6x faster than lax.top_k at
+# ~0.98 measured recall (benchmarks/profile_approx_knn.py) — at N=1024 it
+# is a wash, and the fused kernel keeps the dispatch there. NOTE: like the
+# other dispatch knobs this is read at TRACE time — set it (or PCOT_KNN /
+# PCOT_KNN_RECALL) before the first jitted call.
+_KNN_IMPL = os.environ.get("PCOT_KNN", "exact")
+_KNN_RECALL = float(os.environ.get("PCOT_KNN_RECALL", "0.95"))
+
+
+def set_knn_impl(impl: str, recall_target: Optional[float] = None) -> None:
+    """Select the kNN grouping formulation: ``"exact"`` (default; fused
+    Pallas kernel / top_k, reference semantics) or ``"approx"``
+    (``jax.lax.approx_min_k``; off-TPU backends lower it exactly)."""
+    global _KNN_IMPL, _KNN_RECALL
+    if impl not in ("exact", "approx"):
+        raise ValueError(f"bad knn impl: {impl}")
+    _KNN_IMPL = impl
+    if recall_target is not None:
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError(f"bad recall_target: {recall_target}")
+        _KNN_RECALL = recall_target
+
+
+def _approx_knn(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
+    dist = square_distance(new_xyz, xyz)  # (B, S, N)
+    _, idx = jax.lax.approx_min_k(dist, nsample, recall_target=_KNN_RECALL)
+    return idx.astype(jnp.int32)
+
+
 def _pallas_eligible(n: int) -> bool:
     if _PALLAS_MODE == "never":
         return False
@@ -129,7 +162,12 @@ def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
     filter (`models/base.py:29-35`). Large-N shapes on TPU dispatch to the
     fused Pallas kernel (7.6x the XLA formulation at the reference's
     canonical N=10k: the (B,S,N) distance tensor never leaves VMEM).
+    With ``set_knn_impl("approx")`` selection instead rides the TPU's
+    PartialReduce hardware top-k (1.8x the Pallas passes at N=10k,
+    ~0.98 recall — opt-in, non-reference semantics).
     """
+    if _KNN_IMPL == "approx":
+        return _approx_knn(new_xyz, xyz, nsample)
     if _pallas_eligible(xyz.shape[1]):
         from .pallas_kernels import knn_pallas
 
@@ -263,7 +301,7 @@ def sample_and_group(
     else:
         raise ValueError(f"unknown sampling mode: {sampling}")
 
-    if grouping == "knn" and _fused_group_eligible(N):
+    if grouping == "knn" and _KNN_IMPL == "exact" and _fused_group_eligible(N):
         # Fused SA grouping kernel: centroid gather + exact kNN + neighbor
         # gather (+ feature gather) + centering in ONE kernel per batch
         # element. Selection is K argmin passes at VPU issue rate; the

@@ -1,0 +1,110 @@
+"""Opt-in approximate kNN grouping (jax.lax.approx_min_k / PartialReduce).
+
+Default stays exact (reference semantics, `models/base.py:29-35`); these
+pin the opt-in path's mechanics: high recall vs exact selection, correct
+grouping geometry (every emitted neighbor is a real cloud point, centered
+on its centroid), and knob validation/restoration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_orientation_tpu.ops import (
+    index_points,
+    knn_query,
+    sample_and_group,
+    set_knn_impl,
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_knn_impl():
+    yield
+    set_knn_impl("exact", recall_target=0.95)
+
+
+def _recall(exact: np.ndarray, approx: np.ndarray) -> float:
+    B, S, K = exact.shape
+    return float(
+        np.mean(
+            [
+                len(set(exact[b, s]) & set(approx[b, s])) / K
+                for b in range(B)
+                for s in range(S)
+            ]
+        )
+    )
+
+
+def test_approx_knn_high_recall_vs_exact():
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.normal(key, (2, 512, 3), jnp.float32)
+    new_xyz = xyz[:, :64]
+    exact = np.asarray(knn_query(new_xyz, xyz, 16))
+    set_knn_impl("approx")
+    approx = np.asarray(knn_query(new_xyz, xyz, 16))
+    # the CPU lowering is exact; the bound keeps the test valid on any
+    # backend with a genuinely approximate lowering (TPU measures ~0.98
+    # at N=10k, benchmarks/profile_approx_knn.py)
+    assert _recall(exact, approx) >= 0.9
+
+
+def test_approx_knn_recall_knob_validated():
+    with pytest.raises(ValueError):
+        set_knn_impl("sorta")
+    with pytest.raises(ValueError):
+        set_knn_impl("approx", recall_target=0.0)
+    with pytest.raises(ValueError):
+        set_knn_impl("approx", recall_target=1.5)
+
+
+def test_approx_sample_and_group_geometry():
+    """Every approx-grouped neighbor must be an actual cloud point centered
+    on its centroid, and features must ride the same indices as coords."""
+    key = jax.random.PRNGKey(1)
+    B, N, S, K, D = 2, 256, 32, 8, 5
+    xyz = jax.random.normal(key, (B, N, 3), jnp.float32)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (B, N, D), jnp.float32)
+
+    set_knn_impl("approx")
+    new_xyz, grouped = sample_and_group(
+        xyz, feats, S, K, sampling="first", grouping="knn"
+    )
+    assert new_xyz.shape == (B, S, 3)
+    assert grouped.shape == (B, S, K, 3 + D)
+
+    # the same trace re-run yields the same indices; reconstruct them
+    idx = np.asarray(knn_query(new_xyz, xyz, K))
+    want_coords = np.asarray(index_points(xyz, jnp.asarray(idx)))
+    want_centered = want_coords - np.asarray(new_xyz)[:, :, None, :]
+    np.testing.assert_allclose(
+        np.asarray(grouped[..., :3]), want_centered, atol=1e-6
+    )
+    want_feats = np.asarray(index_points(feats, jnp.asarray(idx)))
+    np.testing.assert_allclose(np.asarray(grouped[..., 3:]), want_feats)
+
+    # membership: un-centered neighbors are rows of the cloud (tolerance:
+    # (x - c) + c reintroduces one rounding step)
+    uncentered = np.asarray(grouped[..., :3]) + np.asarray(new_xyz)[:, :, None, :]
+    xyz_np = np.asarray(xyz)
+    for b in range(B):
+        d = np.min(
+            np.sum(
+                (uncentered[b].reshape(-1, 1, 3) - xyz_np[b][None]) ** 2, -1
+            ),
+            axis=1,
+        )
+        assert np.all(d < 1e-10)
+
+
+def test_exact_default_unchanged_by_knob_roundtrip():
+    key = jax.random.PRNGKey(3)
+    xyz = jax.random.normal(key, (1, 300, 3), jnp.float32)
+    new_xyz = xyz[:, :16]
+    before = np.asarray(knn_query(new_xyz, xyz, 8))
+    set_knn_impl("approx")
+    set_knn_impl("exact")
+    after = np.asarray(knn_query(new_xyz, xyz, 8))
+    np.testing.assert_array_equal(before, after)
