@@ -291,6 +291,12 @@ def main(argv=None):
         help="run the per-label protocol with ALL labels vmapped into one "
              "program (equal-size label subsets; see train/ensemble.py)",
     )
+    ap.add_argument(
+        "--seeds", default=None,
+        help="comma-separated seed list, e.g. 42,43,44: train every seed "
+             "in ONE vmapped program (single-model presets; writes "
+             "per-seed metrics + seeds_summary.json; see train/multiseed.py)",
+    )
     args = ap.parse_args(argv)
 
     overrides = {}
@@ -327,7 +333,12 @@ def main(argv=None):
 
         profile_ctx = capture_trace(args.profile_dir)
     with profile_ctx:
-        if cfg.per_label and args.vmap_labels:
+        if args.seeds:
+            from .multiseed import run_multi_seed
+
+            seeds = [int(s) for s in args.seeds.split(",")]
+            run_multi_seed(cfg, dataset, seeds, out_dir, mesh=mesh)
+        elif cfg.per_label and args.vmap_labels:
             from .ensemble import run_per_label_vmapped
 
             run_per_label_vmapped(cfg, dataset, out_dir, mesh=mesh)

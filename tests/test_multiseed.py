@@ -1,0 +1,114 @@
+"""Vmapped multi-seed protocol (train/multiseed.py).
+
+Exactness contract mirrors the per-label protocol tests
+(`tests/test_ensemble.py`): at S=1 the vmapped program reproduces the
+sequential run to float noise; a seed's result is independent of slot
+order and co-trained seeds; sharding the seed axis over a mesh stays
+within the batched-kernel noise envelope.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pointcloud_orientation_tpu.data import OrientationDataset
+from pointcloud_orientation_tpu.train import Trainer, preset
+from pointcloud_orientation_tpu.train.multiseed import run_multi_seed
+
+
+def _cfg(**kw):
+    return preset("8dir_kl").replace(
+        num_points=128, batch_size=8, classes=("chair", "bottle"), **kw)
+
+
+def _ds():
+    return OrientationDataset.synthetic(samples_per_class=10, num_points=160)
+
+
+def test_multiseed_S1_matches_sequential():
+    """S=1 vmapped vs sequential: same math, different program — the
+    stacked size-1 axis changes kernel tiling, so reductions re-order and
+    a near-tied kNN selection can flip (observed 4e-5 on this task; the
+    same cross-program noise class `tests/test_ensemble.py` documents).
+    Slot-consistency is pinned EXACTLY in the leakage test below; here the
+    envelope pins the protocol mechanics against the sequential run."""
+    cfg = _cfg(epochs=1)
+    ds = _ds()
+    t = Trainer(cfg.replace(seed=42), ds)
+    t.fit(log_every=0)
+    res = run_multi_seed(cfg, ds, seeds=[42], log_every=0)
+    np.testing.assert_allclose(res[42]["best_val"], t.best_val, rtol=5e-4)
+    assert res[42]["best_val_epoch"] == t.best_val_epoch
+    np.testing.assert_allclose(
+        res[42]["history"]["train"], t.history["train"], rtol=5e-4)
+    np.testing.assert_allclose(
+        res[42]["history"]["val"], t.history["val"], rtol=5e-4)
+    seq_test = t.test()
+    np.testing.assert_allclose(
+        res[42]["test_loss"], seq_test.mean_loss, rtol=1e-3)
+
+
+def test_multiseed_no_cross_seed_leakage():
+    """A seed's result must not depend on slot order or on which other
+    seeds co-train — the isolation pin."""
+    cfg = _cfg(epochs=1)
+    ds = _ds()
+    fwd = run_multi_seed(cfg, ds, seeds=[42, 43], log_every=0)
+    rev = run_multi_seed(cfg, ds, seeds=[43, 42], log_every=0)
+    oth = run_multi_seed(cfg, ds, seeds=[43, 44], log_every=0)
+    assert fwd[43]["best_val"] == rev[43]["best_val"] == oth[43]["best_val"]
+    assert fwd[42]["best_val"] == rev[42]["best_val"]
+    # different seeds actually differ (different splits/init/shuffles)
+    assert fwd[42]["best_val"] != fwd[43]["best_val"]
+
+
+def test_multiseed_rejects_bad_inputs():
+    cfg = _cfg(epochs=1)
+    ds = _ds()
+    with pytest.raises(ValueError, match="duplicate"):
+        run_multi_seed(cfg, ds, seeds=[42, 42], log_every=0)
+    with pytest.raises(ValueError, match="per-label"):
+        run_multi_seed(cfg.replace(per_label=True), ds, seeds=[42],
+                       log_every=0)
+
+
+def test_multiseed_artifacts(tmp_path):
+    cfg = _cfg(epochs=3)
+    ds = _ds()
+    res = run_multi_seed(cfg, ds, seeds=[42, 43], out_dir=str(tmp_path),
+                         log_every=0)
+    with open(tmp_path / "seeds_summary.json") as f:
+        summary = json.load(f)
+    assert summary["seeds"] == [42, 43]
+    agg = summary["aggregate"]
+    for k in ("best_val", "test_loss", "test_angular"):
+        assert {"mean", "std", "min", "max"} <= set(agg[k])
+    vals = [res[s]["best_val"] for s in (42, 43)]
+    np.testing.assert_allclose(agg["best_val"]["mean"], np.mean(vals),
+                               rtol=1e-6)
+    for s in (42, 43):
+        with open(tmp_path / f"seed_{s}" / "metrics.json") as f:
+            m = json.load(f)
+        assert len(m["history"]["train"]) == cfg.epochs
+        assert m["config"]["seed"] == s
+        np.testing.assert_allclose(m["best_val"], res[s]["best_val"])
+
+
+def test_multiseed_seed_sharded_matches_unsharded():
+    from pointcloud_orientation_tpu.parallel import make_mesh
+
+    cfg = _cfg(epochs=2)
+    ds = _ds()
+    base = run_multi_seed(cfg, ds, seeds=[42, 43], log_every=0)
+    mesh = make_mesh(("data",), devices=jax.devices()[:2])
+    shard = run_multi_seed(cfg, ds, seeds=[42, 43], log_every=0, mesh=mesh)
+    for s in (42, 43):
+        np.testing.assert_allclose(
+            shard[s]["history"]["val"], base[s]["history"]["val"], rtol=1e-2)
+        np.testing.assert_allclose(
+            shard[s]["test_loss"], base[s]["test_loss"], rtol=1e-2)
+    with pytest.raises(ValueError, match="divide"):
+        run_multi_seed(cfg, ds, seeds=[42, 43, 44], log_every=0, mesh=mesh)
