@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import OrientationDataset
-from .metrics import write_summary_txt
+from .metrics import masked_angular_mean, write_summary_txt
 from .trainer import Trainer
 
 
@@ -197,9 +197,9 @@ def run_per_label_vmapped(
                 history[l]["val"].append(
                     float((vper[li, j] * vmask[li, 0]).sum()))
                 history[l]["train_ang"].append(
-                    float((tang[li, j] * tmask[li, j]).sum()))
+                    masked_angular_mean(tang[li, j], tvn[li, j]))
                 history[l]["val_ang"].append(
-                    float((vang[li, j] * vmask[li, 0]).sum()))
+                    masked_angular_mean(vang[li, j], vvn[li, 0]))
         if log_every and (e_hi % log_every == 0 or e_hi == epochs):
             n_clouds = float(np.asarray(tr_valid).sum())
             print(
@@ -231,7 +231,7 @@ def run_per_label_vmapped(
             "best_val": float(bv[li]),
             "best_val_epoch": int(be[li]),
             "test_loss": float((tper[li] * te_w[li]).sum()),
-            "test_angular": float((tang[li] * te_w[li]).sum()),
+            "test_angular": masked_angular_mean(tang[li], te_v[li]),
             "history": history[l],
         }
 

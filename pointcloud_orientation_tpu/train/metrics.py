@@ -16,6 +16,21 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+def masked_angular_mean(angular, valid) -> float:
+    """Mean angular error over samples that are both valid and finite.
+
+    Task adapters deliberately mark angular error NaN where the metric is
+    undefined (uniform-class 8-dir samples, kappa=0 von Mises samples —
+    `tasks.py`); a plain ``(ang * valid).sum()`` would let one such sample
+    poison the whole mean. Same semantics as
+    :class:`MetricsAccumulator.mean_angular_error`.
+    """
+    ang = np.asarray(angular, np.float64)
+    ok = np.asarray(valid, np.float64) * np.isfinite(ang)
+    n = float(ok.sum())
+    return float(np.where(ok > 0, ang, 0.0).sum() / n) if n else float("nan")
+
+
 class MetricsAccumulator:
     """Accumulates per-sample losses/angular errors with per-class buckets."""
 

@@ -17,6 +17,15 @@ the per-epoch shuffles (`_epoch_batches`, seed+epoch), the init
 (`_init_state`, PRNGKey(seed..seed+2)) — is stacked; everything else is
 the same compiled program.
 
+When to use it (measured, RESULTS.md "Vmapped multi-seed protocol"):
+seed-vmapping is compute-neutral where one training already saturates the
+chip (N=1024: vmapped per-seed epoch rate == sequential; N=10k: ~40%
+worse from 3× VMEM pressure) — unlike the dispatch-bound per-label
+protocol, which vmapping speeds 21–27×. It still buys one
+process/compile/dispatch stream per sweep (N=1024 wall 251 vs 381 s) and,
+decisively, multi-chip seed sweeps: the seed axis shards over a mesh with
+zero collectives, so S seeds on S chips cost one run's wall-clock.
+
 Exactness contract (mirrors the per-label protocol, pinned by
 ``tests/test_multiseed.py``): at S=1 the vmapped program equals the
 sequential one to float noise; a seed's result is independent of which
@@ -39,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import OrientationDataset
+from .metrics import masked_angular_mean
 from .trainer import Trainer
 
 
@@ -162,9 +172,9 @@ def run_multi_seed(
                 history[s]["val"].append(
                     float((vper[si, j] * vmask[si, 0]).sum()))
                 history[s]["train_ang"].append(
-                    float((tang[si, j] * tmask[si, j]).sum()))
+                    masked_angular_mean(tang[si, j], tvn[si, j]))
                 history[s]["val_ang"].append(
-                    float((vang[si, j] * vmask[si, 0]).sum()))
+                    masked_angular_mean(vang[si, j], vvn[si, 0]))
         if log_every and (e_hi % log_every == 0 or e_hi == epochs):
             n_clouds = float(np.asarray(tr_valid).sum())
             print(
@@ -196,7 +206,7 @@ def run_multi_seed(
             "best_val": float(bv[si]),
             "best_val_epoch": int(be[si]),
             "test_loss": float((tper[si] * te_w[si]).sum()),
-            "test_angular": float((tang[si] * te_w[si]).sum()),
+            "test_angular": masked_angular_mean(tang[si], te_v[si]),
             "history": history[s],
         }
 

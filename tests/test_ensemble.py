@@ -187,6 +187,22 @@ def test_vmapped_label_sharded_matches_unsharded():
             mesh=mesh)
 
 
+def test_vmapped_angular_masks_undefined_samples():
+    """8-dir task: uniform-set classes (bottle) have angular error NaN BY
+    DESIGN (tasks.py); the protocol's means must mask those samples — a
+    clear-class label stays finite, an all-uniform label is honestly NaN
+    (regression for the NaN-poisoning found in multi-seed artifacts)."""
+    cfg = preset("8dir_kl").replace(
+        num_points=128, batch_size=8, epochs=1, per_label=True,
+        classes=("chair", "bottle"))
+    ds = _ds()
+    res = run_per_label_vmapped(cfg, ds, labels=["chair", "bottle"],
+                                log_every=0)
+    assert np.isfinite(res["chair"]["test_angular"])
+    assert np.all(np.isfinite(res["chair"]["history"]["val_ang"]))
+    assert np.isnan(res["bottle"]["test_angular"])
+
+
 def test_empty_step_freeze_is_exact_noop():
     """An appended all-invalid batch must leave params, optimizer moments
     and step count bitwise unchanged under enable_empty_step_freeze."""

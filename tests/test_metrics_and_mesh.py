@@ -7,6 +7,7 @@ import pytest
 from pointcloud_orientation_tpu.parallel import data_axis_size, make_mesh
 from pointcloud_orientation_tpu.train import PRESETS, MetricsAccumulator, preset
 from pointcloud_orientation_tpu.train.metrics import (
+    masked_angular_mean,
     write_mvm_results_txt,
     write_summary_txt,
 )
@@ -25,6 +26,19 @@ def test_metrics_accumulator_weighted_means():
     assert per["b"] == pytest.approx(3.0)
     # NaN angular and masked angular excluded
     assert acc.mean_angular_error == pytest.approx((10 + 20) / 2)
+
+
+def test_masked_angular_mean_matches_accumulator_semantics():
+    """The vmapped protocols' helper must skip NaN-marked (undefined) and
+    invalid samples exactly like MetricsAccumulator — one uniform-class
+    NaN must not poison the mean (the bug this pins was found in the
+    vmapped multi-seed artifacts: test_angular == NaN for 8dir_kl)."""
+    ang = np.asarray([[10.0, np.nan], [20.0, 30.0]])
+    valid = np.asarray([[1.0, 1.0], [1.0, 0.0]])
+    assert masked_angular_mean(ang, valid) == pytest.approx((10 + 20) / 2)
+    # all samples undefined -> NaN (matches mean_angular_error's empty case)
+    assert np.isnan(masked_angular_mean(np.asarray([np.nan]), np.asarray([1.0])))
+    assert np.isnan(masked_angular_mean(np.asarray([5.0]), np.asarray([0.0])))
 
 
 def test_metrics_accumulator_empty_class_nan():

@@ -95,6 +95,13 @@ def test_multiseed_artifacts(tmp_path):
         assert len(m["history"]["train"]) == cfg.epochs
         assert m["config"]["seed"] == s
         np.testing.assert_allclose(m["best_val"], res[s]["best_val"])
+    # regression: the config includes "bottle" (a uniform-set class whose
+    # angular error is NaN by design, tasks.py) — the protocol's angular
+    # means must mask those samples, not be poisoned by them
+    for s in (42, 43):
+        assert np.isfinite(res[s]["test_angular"])
+        assert np.all(np.isfinite(res[s]["history"]["val_ang"]))
+        assert np.all(np.isfinite(res[s]["history"]["train_ang"]))
 
 
 def test_multiseed_seed_sharded_matches_unsharded():
