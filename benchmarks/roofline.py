@@ -121,13 +121,14 @@ def selection_accounting(train_ms: float) -> dict:
     total = per_cloud * B
     # measured selection-only microbench at the sa1 shape (RESULTS.md):
     measured_sa1_ms = 2.246
-    sa1_ops = 32 * 128 * 1024 * visits_per_elem * B
+    sa1_ops = sa1 * B
     return {
         "analytic_vpu_ops_per_batch": total,
         "vpu_floor_us": total / V5E_VPU_OPS * 1e6,
         "measured_sa1_select_ms": measured_sa1_ms,
         "sa1_vpu_utilization_pct": sa1_ops / (measured_sa1_ms * 1e-3) / V5E_VPU_OPS * 100,
-        "select_share_of_train_step_pct": 100 * 2.246 / train_ms if train_ms else None,
+        "select_share_of_train_step_pct": (
+            100 * measured_sa1_ms / train_ms if train_ms else None),
     }
 
 

@@ -81,8 +81,8 @@ def set_pallas_mode(mode: str) -> None:
 # is a wash, and the fused kernel keeps the dispatch there. NOTE: like the
 # other dispatch knobs this is read at TRACE time — set it (or PCOT_KNN /
 # PCOT_KNN_RECALL) before the first jitted call.
-_KNN_IMPL = os.environ.get("PCOT_KNN", "exact")
-_KNN_RECALL = float(os.environ.get("PCOT_KNN_RECALL", "0.95"))
+_KNN_IMPL = "exact"
+_KNN_RECALL = 0.95
 
 
 def set_knn_impl(impl: str, recall_target: Optional[float] = None) -> None:
@@ -97,6 +97,17 @@ def set_knn_impl(impl: str, recall_target: Optional[float] = None) -> None:
         if not 0.0 < recall_target <= 1.0:
             raise ValueError(f"bad recall_target: {recall_target}")
         _KNN_RECALL = recall_target
+
+
+# Route the env knobs through the validating setter so a typo
+# (PCOT_KNN=Approx, =1, trailing space) fails loudly at import instead of
+# silently running the exact path under an "approx" banner.
+if "PCOT_KNN" in os.environ or "PCOT_KNN_RECALL" in os.environ:
+    set_knn_impl(
+        os.environ.get("PCOT_KNN", "exact").strip(),
+        float(os.environ["PCOT_KNN_RECALL"])
+        if "PCOT_KNN_RECALL" in os.environ else None,
+    )
 
 
 def _approx_knn(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:

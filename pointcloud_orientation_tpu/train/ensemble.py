@@ -63,11 +63,12 @@ def _pad_rows(a: jax.Array, n: int) -> jax.Array:
     return jnp.concatenate([a, reps], axis=0)
 
 
-def _shard_L(tree, mesh, axis: str):
-    """Shard every leaf's leading (label) axis over ``mesh[axis]``. The
-    per-label trainings are independent, so XLA partitions the vmapped
-    program over labels with ZERO collectives — the protocol weak-scales
-    across chips like a DP mesh scales batches."""
+def shard_stacked_axis(tree, mesh, axis: str):
+    """Shard every leaf's leading stacked axis (labels here, seeds in
+    `train/multiseed.py`) over ``mesh[axis]``. The stacked trainings are
+    independent, so XLA partitions the vmapped program with ZERO
+    collectives — the protocol weak-scales across chips like a DP mesh
+    scales batches."""
     if mesh is None:
         return tree
     from jax.sharding import NamedSharding, PartitionSpec
@@ -103,7 +104,7 @@ def run_per_label_vmapped(
 
     With ``mesh`` (any mesh whose FIRST axis divides the label count) the
     stacked label axis is sharded over that axis: each chip trains its
-    slice of the labels, no communication (see :func:`_shard_L`).
+    slice of the labels, no communication (see :func:`shard_stacked_axis`).
 
     Returns ``{label: {"best_val", "best_val_epoch", "test_loss",
     "test_angular", "history"}}`` and (if ``out_dir``) writes the
@@ -139,7 +140,7 @@ def run_per_label_vmapped(
                 for k in res[0]}
 
     tr_res, va_res, te_res = (
-        _shard_L(stack_res(i), mesh, axis) for i in range(3))
+        shard_stacked_axis(stack_res(i), mesh, axis) for i in range(3))
     template._resident_cache.clear()  # drop the unstacked per-split copies
 
     def label_batches(split_i: int, train: bool, epoch: int):
@@ -149,7 +150,7 @@ def run_per_label_vmapped(
         nb = max(m.shape[0] for m in mats)
         return _stack_batches(mats, valids, nb)
 
-    va_idx, va_valid = _shard_L(label_batches(1, False, 0), mesh, axis)
+    va_idx, va_valid = shard_stacked_axis(label_batches(1, False, 0), mesh, axis)
 
     # stacked carry: identical init per label (same seed), then diverging
     state = _stack_tree(template.state, L)
@@ -157,7 +158,7 @@ def run_per_label_vmapped(
     bp = _stack_tree(template.state.params, L)
     bs = _stack_tree(template.state.batch_stats, L)
     be = jnp.zeros((L,), jnp.int32)
-    carry = _shard_L((state, bv, bp, bs, be), mesh, axis)
+    carry = shard_stacked_axis((state, bv, bp, bs, be), mesh, axis)
 
     vblock = jax.jit(
         jax.vmap(
@@ -178,7 +179,7 @@ def run_per_label_vmapped(
         per_epoch = [label_batches(0, True, e) for e in nums]
         tr_idx = jnp.stack([im for im, _ in per_epoch], axis=1)  # (L,E,nb,B)
         tr_valid = jnp.stack([vm for _, vm in per_epoch], axis=1)
-        tr_idx, tr_valid = _shard_L((tr_idx, tr_valid), mesh, axis)
+        tr_idx, tr_valid = shard_stacked_axis((tr_idx, tr_valid), mesh, axis)
         t0 = time.perf_counter()
         carry, stacked = vblock(
             carry, tr_res, va_res, tr_idx, tr_valid, va_idx, va_valid,
@@ -214,7 +215,7 @@ def run_per_label_vmapped(
     bv, be = np.asarray(bv), np.asarray(be)
 
     # test phase: vmapped eval with each label's best params/stats restored
-    te_idx, te_valid = _shard_L(label_batches(2, False, 0), mesh, axis)
+    te_idx, te_valid = shard_stacked_axis(label_batches(2, False, 0), mesh, axis)
     eval_key = jax.random.PRNGKey(cfg.seed * 104729 + 17)
     best_state = state.replace(params=bp, batch_stats=bs)
     tper, tang, _ = jax.vmap(

@@ -48,19 +48,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import OrientationDataset
+from .ensemble import shard_stacked_axis as _shard_S
 from .metrics import masked_angular_mean
 from .trainer import Trainer
-
-
-def _shard_S(tree, mesh, axis: str):
-    """Shard every leaf's leading (seed) axis over ``mesh[axis]`` — the
-    trainings are independent, so XLA partitions with zero collectives."""
-    if mesh is None:
-        return tree
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    sh = NamedSharding(mesh, PartitionSpec(axis))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
 def run_multi_seed(
@@ -188,6 +178,20 @@ def run_multi_seed(
     state, bv, bp, bs, be = carry
     bv, be = np.asarray(bv), np.asarray(be)
 
+    # Diverged-seed guard (mirrors trainer._fit_blocks:558-564): a seed
+    # whose val loss was never finite has best-val snapshots equal to the
+    # stacked INIT params — test it on its FINAL state instead, and report
+    # best_val=None rather than serializing Infinity.
+    finite = np.isfinite(bv)
+    if not finite.all():
+        sel = jnp.asarray(finite)
+        pick = lambda b, f: jnp.where(
+            sel.reshape((S,) + (1,) * (b.ndim - 1)), b, f)
+        bp = jax.tree_util.tree_map(pick, bp, state.params)
+        bs = jax.tree_util.tree_map(pick, bs, state.batch_stats)
+        print(f"WARNING: seeds {[s for s, f in zip(seeds, finite) if not f]} "
+              "never produced a finite val loss; testing their final state")
+
     # test phase: per-seed best params/stats, per-seed eval keys
     te_idx, te_valid = _shard_S(seed_batches("test_ds", False, 0), mesh, axis)
     eval_keys = jax.vmap(
@@ -203,8 +207,8 @@ def run_multi_seed(
     wall = time.time() - t_start
     for si, s in enumerate(seeds):
         results[s] = {
-            "best_val": float(bv[si]),
-            "best_val_epoch": int(be[si]),
+            "best_val": float(bv[si]) if finite[si] else None,
+            "best_val_epoch": int(be[si]) if finite[si] else None,
             "test_loss": float((tper[si] * te_w[si]).sum()),
             "test_angular": masked_angular_mean(tang[si], te_v[si]),
             "history": history[s],
@@ -214,9 +218,16 @@ def run_multi_seed(
         os.makedirs(out_dir, exist_ok=True)
         agg = {}
         for k in ("best_val", "test_loss", "test_angular"):
-            vals = np.asarray([results[s][k] for s in seeds], np.float64)
-            agg[k] = {"mean": float(vals.mean()), "std": float(vals.std()),
-                      "min": float(vals.min()), "max": float(vals.max())}
+            vals = np.asarray(
+                [results[s][k] for s in seeds
+                 if results[s][k] is not None
+                 and np.isfinite(results[s][k])], np.float64)
+            agg[k] = (
+                {"mean": float(vals.mean()), "std": float(vals.std()),
+                 "min": float(vals.min()), "max": float(vals.max()),
+                 "n": int(vals.size)}
+                if vals.size else {"n": 0}
+            )
         with open(os.path.join(out_dir, "seeds_summary.json"), "w") as f:
             json.dump({"seeds": seeds, "aggregate": agg,
                        "wall_seconds": wall}, f, indent=2)
