@@ -21,7 +21,11 @@ Properties of the artifact:
 * **portable by default**: the compute path is pure XLA (Pallas dispatch
   is forced off during tracing) so the artifact contains no
   hardware-pinned Mosaic custom calls. Pass ``use_pallas=True`` to keep
-  the fused TPU kernels in a TPU-only artifact instead.
+  the fused TPU kernels in a TPU-only artifact instead. The opt-in
+  approximate kNN (``set_knn_impl("approx")``) composes freely: its
+  ``ApproxTopK`` custom call is on jax.export's guaranteed-stable list,
+  so the artifact stays multi-platform with no safety opt-out
+  (test-pinned).
 
 Example
 -------

@@ -6,6 +6,8 @@ grouping geometry (every emitted neighbor is a real cloud point, centered
 on its centroid), and knob validation/restoration.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +99,29 @@ def test_approx_sample_and_group_geometry():
             axis=1,
         )
         assert np.all(d < 1e-10)
+
+
+def test_env_knob_validated_at_import():
+    """A PCOT_KNN typo must fail loudly at import, not silently run the
+    exact path under an 'approx' banner (review finding r3s4)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import pointcloud_orientation_tpu.ops.geometry"],
+        env={**os.environ, "PCOT_KNN": "Approx", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "bad knn impl" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import pointcloud_orientation_tpu.ops.geometry"],
+        env={**os.environ, "PCOT_KNN": "approx",
+             "PCOT_KNN_RECALL": "1.5", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "bad recall_target" in r.stderr
 
 
 def test_exact_default_unchanged_by_knob_roundtrip():

@@ -142,3 +142,26 @@ def test_cli_from_orbax_checkpoint(model_and_vars, tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.call(x)), np.asarray(direct), rtol=1e-5, atol=1e-5
     )
+
+
+def test_export_under_approx_knn(model_and_vars):
+    """PCOT_KNN=approx composes with export: jax.lax.approx_min_k lowers
+    to the ApproxTopK custom call, which is on jax.export's
+    guaranteed-stable list — the artifact stays multi-platform with no
+    safety-check opt-out (unlike --pallas)."""
+    from pointcloud_orientation_tpu.ops import set_knn_impl
+
+    model, variables, x = model_and_vars
+    set_knn_impl("approx")
+    try:
+        exported = export_orientation_model(
+            "pointnet_pp_8dir",
+            variables["params"],
+            variables.get("batch_stats"),
+            batch_size=B,
+            num_points=N,
+        )
+        assert exported.platforms == ("cpu", "tpu")
+        assert np.asarray(exported.call(x)).shape == (B, 8)
+    finally:
+        set_knn_impl("exact")

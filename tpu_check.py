@@ -176,6 +176,24 @@ def main() -> int:
     ok &= check("point_transformer flash VJP == xla VJP", flat_f, flat_x,
                 exact=False, atol=5e-2, rtol=1e-3)
 
+    # ---- approx_min_k (PartialReduce) on-chip recall at the opt-in's
+    # target shape: the approximate path's usefulness rests on this number
+    # (RESULTS.md measured 0.978 at recall_target=0.95) ----
+    xyz = jax.random.normal(jax.random.PRNGKey(14), (4, 10_000, 3), jnp.float32)
+    new_xyz = xyz[:, :128]
+    d = G.square_distance(new_xyz, xyz)
+    _, exact_idx = jax.lax.top_k(-d, 32)
+    _, approx_idx = jax.lax.approx_min_k(d, 32, recall_target=0.95)
+    e, a = np.asarray(exact_idx), np.asarray(approx_idx)
+    recall = np.mean([
+        len(set(e[b, s]) & set(a[b, s])) / 32
+        for b in range(e.shape[0]) for s in range(0, e.shape[1], 8)
+    ])
+    rec_ok = recall >= 0.95
+    print(f"{'PASS' if rec_ok else 'FAIL'}  approx_min_k on-chip recall "
+          f"{recall:.4f} >= 0.95 (N=10k)")
+    ok &= rec_ok
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
