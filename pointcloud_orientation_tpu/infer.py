@@ -39,6 +39,12 @@ class OrientationPredictor:
     Requests are padded up to the next batch bucket (powers of two by
     default) so each bucket compiles exactly once; point count is padded by
     repeating points (harmless for sampling/grouping semantics).
+
+    Large-N serving: at N=10,000 the opt-in approximate grouping halves
+    batch device latency (2.03× at B=64, RESULTS.md). It is a process-wide
+    trace-time knob, so set it BEFORE the first predict:
+    ``pointcloud_orientation_tpu.ops.set_knn_impl("approx")`` or
+    ``PCOT_KNN=approx`` in the environment.
     """
 
     def __init__(

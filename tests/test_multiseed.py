@@ -104,6 +104,24 @@ def test_multiseed_artifacts(tmp_path):
         assert np.all(np.isfinite(res[s]["history"]["train_ang"]))
 
 
+def test_multiseed_diverged_seed_guard(tmp_path):
+    """A seed that never produces a finite val loss (forced via an absurd
+    lr) must serialize best_val=null (not JSON-invalid Infinity), report
+    no best epoch, and be excluded from the aggregate; the sweep itself
+    must still complete and write artifacts."""
+    cfg = _cfg(epochs=2, lr=1e30).replace(classes=("chair",))
+    ds = _ds()
+    res = run_multi_seed(cfg, ds, seeds=[42], out_dir=str(tmp_path),
+                         log_every=0)
+    assert res[42]["best_val"] is None
+    assert res[42]["best_val_epoch"] is None
+    with open(tmp_path / "seeds_summary.json") as f:
+        summary = json.load(f)  # parses: no bare Infinity emitted
+    assert summary["aggregate"]["best_val"] == {"n": 0}
+    with open(tmp_path / "seed_42" / "metrics.json") as f:
+        assert json.load(f)["best_val"] is None
+
+
 def test_multiseed_seed_sharded_matches_unsharded():
     from pointcloud_orientation_tpu.parallel import make_mesh
 
