@@ -83,13 +83,22 @@ def set_pallas_mode(mode: str) -> None:
 # PCOT_KNN_RECALL) before the first jitted call.
 _KNN_IMPL = "exact"
 _KNN_RECALL = 0.95
+# Below this many candidate points, "approx" still dispatches the exact
+# fused kernel: PartialReduce only wins at large N (1.23 vs 2.42 ms at
+# N=10k but 10.0k vs 21.2k clouds/s end-to-end at N=1024), and inside a
+# 10k model the later SA stages select from only 128 candidates — those
+# stay on the fused kernel (and stay exact) even under "approx".
+_KNN_APPROX_MIN_N = 4096
 
 
-def set_knn_impl(impl: str, recall_target: Optional[float] = None) -> None:
+def set_knn_impl(impl: str, recall_target: Optional[float] = None,
+                 approx_min_n: Optional[int] = None) -> None:
     """Select the kNN grouping formulation: ``"exact"`` (default; fused
     Pallas kernel / top_k, reference semantics) or ``"approx"``
-    (``jax.lax.approx_min_k``; off-TPU backends lower it exactly)."""
-    global _KNN_IMPL, _KNN_RECALL
+    (``jax.lax.approx_min_k`` for stages with at least ``approx_min_n``
+    candidate points — smaller stages keep the exact fused kernel;
+    off-TPU backends lower approx_min_k exactly)."""
+    global _KNN_IMPL, _KNN_RECALL, _KNN_APPROX_MIN_N
     if impl not in ("exact", "approx"):
         raise ValueError(f"bad knn impl: {impl}")
     _KNN_IMPL = impl
@@ -97,16 +106,27 @@ def set_knn_impl(impl: str, recall_target: Optional[float] = None) -> None:
         if not 0.0 < recall_target <= 1.0:
             raise ValueError(f"bad recall_target: {recall_target}")
         _KNN_RECALL = recall_target
+    if approx_min_n is not None:
+        if approx_min_n < 1:
+            raise ValueError(f"bad approx_min_n: {approx_min_n}")
+        _KNN_APPROX_MIN_N = approx_min_n
+
+
+def _approx_eligible(n: int) -> bool:
+    return _KNN_IMPL == "approx" and n >= _KNN_APPROX_MIN_N
 
 
 # Route the env knobs through the validating setter so a typo
 # (PCOT_KNN=Approx, =1, trailing space) fails loudly at import instead of
 # silently running the exact path under an "approx" banner.
-if "PCOT_KNN" in os.environ or "PCOT_KNN_RECALL" in os.environ:
+if ("PCOT_KNN" in os.environ or "PCOT_KNN_RECALL" in os.environ
+        or "PCOT_KNN_APPROX_MIN_N" in os.environ):
     set_knn_impl(
         os.environ.get("PCOT_KNN", "exact").strip(),
         float(os.environ["PCOT_KNN_RECALL"])
         if "PCOT_KNN_RECALL" in os.environ else None,
+        int(os.environ["PCOT_KNN_APPROX_MIN_N"])
+        if "PCOT_KNN_APPROX_MIN_N" in os.environ else None,
     )
 
 
@@ -177,7 +197,7 @@ def knn_query(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Array:
     PartialReduce hardware top-k (1.8x the Pallas passes at N=10k,
     ~0.98 recall — opt-in, non-reference semantics).
     """
-    if _KNN_IMPL == "approx":
+    if _approx_eligible(xyz.shape[1]):
         return _approx_knn(new_xyz, xyz, nsample)
     if _pallas_eligible(xyz.shape[1]):
         from .pallas_kernels import knn_pallas
@@ -312,7 +332,7 @@ def sample_and_group(
     else:
         raise ValueError(f"unknown sampling mode: {sampling}")
 
-    if grouping == "knn" and _KNN_IMPL == "exact" and _fused_group_eligible(N):
+    if grouping == "knn" and not _approx_eligible(N) and _fused_group_eligible(N):
         # Fused SA grouping kernel: centroid gather + exact kNN + neighbor
         # gather (+ feature gather) + centering in ONE kernel per batch
         # element. Selection is K argmin passes at VPU issue rate; the

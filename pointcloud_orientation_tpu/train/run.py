@@ -301,7 +301,7 @@ def main(argv=None):
         "--knn", default=None, choices=("exact", "approx"),
         help="neighbor-selection formulation: exact (default, reference "
              "semantics) or approx (TPU PartialReduce hardware top-k — "
-             "1.72x at N=10,000, ~0.98 recall; RESULTS.md)",
+             "1.85x at N=10,000, ~0.98 recall; RESULTS.md)",
     )
     args = ap.parse_args(argv)
 

@@ -24,7 +24,7 @@ from pointcloud_orientation_tpu.ops import (
 @pytest.fixture(autouse=True)
 def _restore_knn_impl():
     yield
-    set_knn_impl("exact", recall_target=0.95)
+    set_knn_impl("exact", recall_target=0.95, approx_min_n=4096)
 
 
 def _recall(exact: np.ndarray, approx: np.ndarray) -> float:
@@ -45,7 +45,7 @@ def test_approx_knn_high_recall_vs_exact():
     xyz = jax.random.normal(key, (2, 512, 3), jnp.float32)
     new_xyz = xyz[:, :64]
     exact = np.asarray(knn_query(new_xyz, xyz, 16))
-    set_knn_impl("approx")
+    set_knn_impl("approx", approx_min_n=1)
     approx = np.asarray(knn_query(new_xyz, xyz, 16))
     # the CPU lowering is exact; the bound keeps the test valid on any
     # backend with a genuinely approximate lowering (TPU measures ~0.98
@@ -70,7 +70,7 @@ def test_approx_sample_and_group_geometry():
     xyz = jax.random.normal(key, (B, N, 3), jnp.float32)
     feats = jax.random.normal(jax.random.PRNGKey(2), (B, N, D), jnp.float32)
 
-    set_knn_impl("approx")
+    set_knn_impl("approx", approx_min_n=1)
     new_xyz, grouped = sample_and_group(
         xyz, feats, S, K, sampling="first", grouping="knn"
     )
@@ -101,6 +101,21 @@ def test_approx_sample_and_group_geometry():
         assert np.all(d < 1e-10)
 
 
+def test_approx_threshold_keeps_small_stages_exact():
+    """Under 'approx', stages with fewer than approx_min_n candidates
+    dispatch the EXACT path — inside a 10k model the sa2/sa3 stages
+    (N=128) stay on the fused kernel and stay exact."""
+    key = jax.random.PRNGKey(4)
+    xyz = jax.random.normal(key, (1, 512, 3), jnp.float32)
+    new_xyz = xyz[:, :32]
+    exact = np.asarray(knn_query(new_xyz, xyz, 8))
+    set_knn_impl("approx", approx_min_n=4096)  # 512 < threshold
+    np.testing.assert_array_equal(
+        np.asarray(knn_query(new_xyz, xyz, 8)), exact)
+    with pytest.raises(ValueError):
+        set_knn_impl("approx", approx_min_n=0)
+
+
 def test_env_knob_validated_at_import():
     """A PCOT_KNN typo must fail loudly at import, not silently run the
     exact path under an 'approx' banner (review finding r3s4)."""
@@ -129,7 +144,7 @@ def test_exact_default_unchanged_by_knob_roundtrip():
     xyz = jax.random.normal(key, (1, 300, 3), jnp.float32)
     new_xyz = xyz[:, :16]
     before = np.asarray(knn_query(new_xyz, xyz, 8))
-    set_knn_impl("approx")
+    set_knn_impl("approx", approx_min_n=1)
     set_knn_impl("exact")
     after = np.asarray(knn_query(new_xyz, xyz, 8))
     np.testing.assert_array_equal(before, after)

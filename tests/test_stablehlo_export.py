@@ -152,7 +152,7 @@ def test_export_under_approx_knn(model_and_vars):
     from pointcloud_orientation_tpu.ops import set_knn_impl
 
     model, variables, x = model_and_vars
-    set_knn_impl("approx")
+    set_knn_impl("approx", approx_min_n=1)  # N=256 must actually go approx
     try:
         exported = export_orientation_model(
             "pointnet_pp_8dir",
@@ -164,4 +164,4 @@ def test_export_under_approx_knn(model_and_vars):
         assert exported.platforms == ("cpu", "tpu")
         assert np.asarray(exported.call(x)).shape == (B, 8)
     finally:
-        set_knn_impl("exact")
+        set_knn_impl("exact", approx_min_n=4096)
