@@ -72,6 +72,12 @@ class TrainConfig:
     async_checkpoint: bool = False  # overlap periodic checkpoint writes with training
     keep_best: bool = True
     debug_checks: bool = False  # per-step finite checks (the _debug harness)
+    # keep the dataset host-resident and stream one batch per step to the
+    # device (gather + H2D per batch) instead of device-resident packed
+    # arrays — for datasets whose packed splits exceed device memory. Same
+    # math and PRNG streams as the resident path, traded for per-step
+    # dispatch overhead.
+    host_resident: bool = False
     bn_sync_axis: Optional[str] = None
 
     def replace(self, **kw) -> "TrainConfig":

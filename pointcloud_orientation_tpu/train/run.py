@@ -280,6 +280,12 @@ def main(argv=None):
     ap.add_argument("--mesh", default=None, help="e.g. 'data:8' for 8-way DP")
     ap.add_argument("--debug-checks", action="store_true")
     ap.add_argument(
+        "--host-resident", action="store_true", dest="host_resident",
+        help="stream one batch per step from host memory instead of "
+             "device-resident packed arrays (datasets larger than HBM); "
+             "same math/PRNG streams, per-step dispatch overhead",
+    )
+    ap.add_argument(
         "--lr-schedule", default=None, dest="lr_schedule",
         choices=("cosine",),
         help="opt-in LR schedule (default: the reference's constant lr)",
@@ -322,6 +328,8 @@ def main(argv=None):
         overrides["classes"] = tuple(args.classes.split(","))
     if args.debug_checks:
         overrides["debug_checks"] = True
+    if args.host_resident:
+        overrides["host_resident"] = True
     if args.async_checkpoint:
         overrides["async_checkpoint"] = True
     if args.data.startswith("plygt:"):

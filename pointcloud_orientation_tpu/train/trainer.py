@@ -603,7 +603,7 @@ class Trainer:
     def _run_phase(
         self, ds: OrientationDataset, train: bool, epoch: int
     ) -> MetricsAccumulator:
-        if not self.cfg.debug_checks:
+        if not self.cfg.debug_checks and not self.cfg.host_resident:
             return self._run_phase_scan(ds, train, epoch)
         return self._run_phase_stepwise(ds, train, epoch)
 
@@ -642,8 +642,13 @@ class Trainer:
     def _run_phase_stepwise(
         self, ds: OrientationDataset, train: bool, epoch: int
     ) -> MetricsAccumulator:
-        """Per-step dispatch with host-visible intermediates — the debug path
-        (finite checks per step, `debug_checks=True`)."""
+        """Per-step dispatch with host-visible intermediates — the debug
+        path (`debug_checks=True`: finite checks per step) and the
+        host-resident streaming path (`host_resident=True`: one batch
+        gathered on host and transferred per step, for splits larger than
+        device memory). PRNG streams are built from the same absolute
+        epoch/step keys as the scan path, so both paths run the same
+        per-step math."""
         cfg = self.cfg
         acc = MetricsAccumulator(self.class_names)
         base = jax.random.PRNGKey(cfg.seed * 7919 + (epoch if train else -1))
@@ -787,8 +792,11 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.epochs
         # Fast path: whole blocks of epochs in one device program. Falls back
         # to the per-epoch loop when host-side work is required every epoch
-        # (per-step debug checks, periodic checkpoint writes).
-        if not cfg.debug_checks and not (checkpoint_dir and cfg.checkpoint_every):
+        # (per-step debug checks, periodic checkpoint writes) or when the
+        # dataset must stay host-resident (cfg.host_resident: splits larger
+        # than device memory stream one batch per step).
+        if not cfg.debug_checks and not cfg.host_resident and not (
+                checkpoint_dir and cfg.checkpoint_every):
             return self._fit_blocks(
                 epochs, log_every, start_epoch, preemption_guard
             )

@@ -152,3 +152,24 @@ def test_debug_check_raises_on_bessel_overflow_kappa(tiny_ds, tmp_path):
         "outputs": {"mu": np.zeros((2, 1), np.float32), "kappa": ok_kappa},
     }
     tr._debug_check(metrics, epoch=0, batch_idx=0)  # must not raise
+
+
+def test_host_resident_streaming_matches_resident_path(tiny_ds):
+    """cfg.host_resident=True streams one batch per step from host memory
+    (for splits larger than device memory) but builds PRNG keys from the
+    same absolute epoch/step numbers as the device-resident scan path — the
+    two runs must agree to float noise (different compiled programs, same
+    math)."""
+    cfg = _tiny(preset("8dir_kl", classes=("chair", "bottle")))
+    base = Trainer(cfg, tiny_ds)
+    base.fit(log_every=0)
+    stream = Trainer(cfg.replace(host_resident=True), tiny_ds)
+    stream.fit(log_every=0)
+    np.testing.assert_allclose(
+        stream.history["train"], base.history["train"], rtol=5e-4)
+    np.testing.assert_allclose(
+        stream.history["val"], base.history["val"], rtol=5e-4)
+    np.testing.assert_allclose(stream.best_val, base.best_val, rtol=5e-4)
+    t_base, t_stream = base.test(), stream.test()
+    np.testing.assert_allclose(
+        t_stream.mean_loss, t_base.mean_loss, rtol=1e-3)
