@@ -654,6 +654,12 @@ class Trainer:
         base = jax.random.PRNGKey(cfg.seed * 7919 + (epoch if train else -1))
         eval_base = jax.random.PRNGKey(cfg.seed * 104729 + 17)
         n_clouds = 0
+        # Streaming (host_resident without debug_checks): don't fetch
+        # per-step metrics inside the loop — a per-step np.asarray is a
+        # device sync that serializes host gather and device compute.
+        # Deferring the fetch keeps jax's async dispatch queue full, so the
+        # next batch's host gather + H2D overlaps the current step.
+        deferred = [] if not cfg.debug_checks else None
         t0 = time.perf_counter()
         for bi, (idx, valid, _) in enumerate(
             ds.batches(cfg.batch_size, shuffle=train, seed=cfg.seed + epoch)
@@ -674,12 +680,19 @@ class Trainer:
                 )
             else:
                 metrics = self._eval_step(self.state, batch, valid_dev, step_rng)
-            per = np.asarray(metrics["per_sample"])
-            ang = np.asarray(metrics["angular"])
-            if cfg.debug_checks:
+            if deferred is not None:
+                deferred.append(
+                    (metrics["per_sample"], metrics["angular"], labels, valid))
+            else:
+                per = np.asarray(metrics["per_sample"])
+                ang = np.asarray(metrics["angular"])
                 self._debug_check(metrics, epoch, bi)
-            acc.update(per, labels, np.asarray(valid), ang)
+                acc.update(per, labels, np.asarray(valid), ang)
             n_clouds += int(np.sum(valid))
+        if deferred is not None:
+            for per, ang, labels, valid in deferred:
+                acc.update(np.asarray(per), labels, np.asarray(valid),
+                           np.asarray(ang))
         # Sync by fetching a param value — this environment's
         # block_until_ready can return before remote compute finishes
         # (CLAUDE.md), which would inflate the stepwise clouds/sec.
