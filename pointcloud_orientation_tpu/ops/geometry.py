@@ -99,16 +99,18 @@ def set_knn_impl(impl: str, recall_target: Optional[float] = None,
     candidate points — smaller stages keep the exact fused kernel;
     off-TPU backends lower approx_min_k exactly)."""
     global _KNN_IMPL, _KNN_RECALL, _KNN_APPROX_MIN_N
+    # validate EVERYTHING before mutating: a failed call must not leave
+    # half-applied global state (e.g. impl flipped but the old recall)
     if impl not in ("exact", "approx"):
         raise ValueError(f"bad knn impl: {impl}")
+    if recall_target is not None and not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"bad recall_target: {recall_target}")
+    if approx_min_n is not None and approx_min_n < 1:
+        raise ValueError(f"bad approx_min_n: {approx_min_n}")
     _KNN_IMPL = impl
     if recall_target is not None:
-        if not 0.0 < recall_target <= 1.0:
-            raise ValueError(f"bad recall_target: {recall_target}")
         _KNN_RECALL = recall_target
     if approx_min_n is not None:
-        if approx_min_n < 1:
-            raise ValueError(f"bad approx_min_n: {approx_min_n}")
         _KNN_APPROX_MIN_N = approx_min_n
 
 

@@ -352,16 +352,24 @@ def main(argv=None):
         from ..utils.profiling import capture_trace
 
         profile_ctx = capture_trace(args.profile_dir)
-    if (args.seeds or (cfg.per_label and args.vmap_labels)) and (
-            cfg.checkpoint_every or cfg.async_checkpoint):
-        import warnings
+    if args.seeds or (cfg.per_label and args.vmap_labels):
+        unsupported = []
+        if cfg.checkpoint_every or cfg.async_checkpoint:
+            unsupported.append(
+                "--checkpoint-every/--async-checkpoint (an interrupted "
+                "sweep restarts from scratch)")
+        if cfg.host_resident:
+            unsupported.append(
+                "--host-resident (the vmapped protocols build stacked "
+                "device-resident splits)")
+        if unsupported:
+            import warnings
 
-        warnings.warn(
-            "--checkpoint-every/--async-checkpoint are not supported by the "
-            "vmapped protocols (--seeds / --vmap-labels) and will be "
-            "ignored; an interrupted sweep restarts from scratch",
-            stacklevel=1,
-        )
+            warnings.warn(
+                "ignored by the vmapped protocols (--seeds / "
+                "--vmap-labels): " + "; ".join(unsupported),
+                stacklevel=1,
+            )
     with profile_ctx:
         if args.seeds:
             from .multiseed import run_multi_seed

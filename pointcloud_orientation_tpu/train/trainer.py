@@ -689,10 +689,14 @@ class Trainer:
                 self._debug_check(metrics, epoch, bi)
                 acc.update(per, labels, np.asarray(valid), ang)
             n_clouds += int(np.sum(valid))
-        if deferred is not None:
-            for per, ang, labels, valid in deferred:
-                acc.update(np.asarray(per), labels, np.asarray(valid),
-                           np.asarray(ang))
+        if deferred is not None and deferred:
+            # drain in TWO transfers, not 2-per-step: batches pad to a
+            # fixed size so per/ang stack on device; per-step np.asarray
+            # would pay one remote round trip per fetch
+            pers = np.asarray(jnp.stack([d[0] for d in deferred]))
+            angs = np.asarray(jnp.stack([d[1] for d in deferred]))
+            for i, (_, _, labels, valid) in enumerate(deferred):
+                acc.update(pers[i], labels, np.asarray(valid), angs[i])
         # Sync by fetching a param value — this environment's
         # block_until_ready can return before remote compute finishes
         # (CLAUDE.md), which would inflate the stepwise clouds/sec.

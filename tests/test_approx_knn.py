@@ -62,6 +62,20 @@ def test_approx_knn_recall_knob_validated():
         set_knn_impl("approx", recall_target=1.5)
 
 
+def test_set_knn_impl_is_atomic_on_failure():
+    """A rejected call must not leave half-applied global state — the impl
+    must not flip to 'approx' when the recall/threshold arg is invalid."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    assert G._KNN_IMPL == "exact"
+    with pytest.raises(ValueError):
+        set_knn_impl("approx", recall_target=1.5)
+    assert G._KNN_IMPL == "exact"
+    with pytest.raises(ValueError):
+        set_knn_impl("approx", approx_min_n=0)
+    assert G._KNN_IMPL == "exact"
+
+
 def test_approx_sample_and_group_geometry():
     """Every approx-grouped neighbor must be an actual cloud point centered
     on its centroid, and features must ride the same indices as coords."""
