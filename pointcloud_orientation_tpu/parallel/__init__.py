@@ -14,6 +14,8 @@ from .pp import (
     split_pipeline_params,
 )
 from .tp import make_tp_train_step, shard_tp_params, tp_param_specs
+from .ring_attention import make_ring_attention, ring_attention
+from .sp_transformer import RingPointTransformer, make_sp_train_step
 from .multihost import (
     global_batch_from_local,
     initialize as initialize_multihost,
@@ -40,6 +42,10 @@ __all__ = [
     "fsdp_param_specs",
     "shard_fsdp_params",
     "make_fsdp_train_step",
+    "ring_attention",
+    "make_ring_attention",
+    "RingPointTransformer",
+    "make_sp_train_step",
     "initialize_multihost",
     "make_hybrid_mesh",
     "process_local_slice",

@@ -111,22 +111,31 @@ def make_fsdp_train_step(
     is rematerialized in the backward pass, so the gathered full weights are
     re-gathered rather than held live across the whole backward — the
     standard FSDP memory/traffic trade.
+
+    ``train=True`` runs dropout and therefore REQUIRES passing ``rng``
+    (the ``'dropout'`` PRNG collection) to the step.
     """
     import optax
 
     out_spec = NamedSharding(mesh, P())
 
-    def fwd(p, x):
-        return model.apply({"params": p}, x, train=train)
+    def fwd(p, x, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        return model.apply({"params": p}, x, train=train, rngs=rngs)
 
     if remat:
         # close over `train` so jax.checkpoint never traces the bool
         fwd = jax.checkpoint(fwd)
 
     @jax.jit
-    def step(params, opt_state, x, target):
+    def step(params, opt_state, x, target, rng=None):
+        if train and rng is None:
+            raise ValueError(
+                "make_fsdp_train_step(train=True) requires "
+                "step(..., rng=...) for the 'dropout' PRNG collection")
+
         def loss_fn(p):
-            out = fwd(p, x)
+            out = fwd(p, x, rng)
             return jnp.mean((out - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -45,6 +45,22 @@ def make_mesh(
         sizes[sizes.index(-1)] = n // known
     if int(np.prod(sizes)) != n:
         raise ValueError(f"mesh {sizes} does not cover {n} devices")
+    # Topology-aware placement when using ALL devices: on a real multi-chip
+    # slice, a naive enumeration-order reshape can make logically-adjacent
+    # mesh neighbors physically non-adjacent, turning ppermute rings and
+    # collectives into multi-hop ICI routes. mesh_utils consults the
+    # physical coordinates; fall back to reshape for explicit device
+    # subsets or backends it cannot handle (virtual CPU meshes are
+    # topology-free, so the fallback is lossless there).
+    if len(devices) == len(jax.devices()):
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                sizes, devices=np.asarray(devices))
+            return Mesh(dev_array, tuple(axis_names))
+        except Exception:  # pragma: no cover - odd shapes/backends
+            pass
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, tuple(axis_names))
 

@@ -45,16 +45,29 @@ def initialize(
     """Bootstrap the multi-process JAX runtime (idempotent).
 
     With no arguments, relies on the standard auto-detection environment
-    (TPU pod metadata, or ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
-    ``JAX_PROCESS_ID``). A no-op when the runtime is already initialized or
-    when nothing indicates a multi-process launch — so entry points can
-    call it unconditionally.
+    (TPU pod metadata, or ``JAX_COORDINATOR_ADDRESS`` — the one coordinator
+    env var jax itself reads; on clusters jax cannot auto-detect, pass
+    ``num_processes``/``process_id`` EXPLICITLY as arguments). A no-op when
+    the runtime is already initialized (here or by external code — checked
+    via ``jax.distributed.is_initialized``) or when nothing indicates a
+    multi-process launch — so entry points can call it unconditionally.
     """
     global _INITIALIZED
     if _INITIALIZED:
         return
+    try:  # runtime may have been initialized by a launcher wrapper
+        if jax.distributed.is_initialized():
+            _INITIALIZED = True
+            return
+    except AttributeError:  # pragma: no cover - much older jax
+        pass
     multiproc_hinted = (
         coordinator_address is not None
+        # explicit process topology is as strong a hint as an address —
+        # silently no-opping here would leave N hosts training as N
+        # duplicate single-host jobs
+        or num_processes is not None
+        or process_id is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("TPU_WORKER_HOSTNAMES")  # TPU pod runtime env
@@ -108,7 +121,14 @@ def make_hybrid_mesh(
             f"have {n}"
         )
     if n_slices == 1:
-        dev_array = np.asarray(devices).reshape(ici)
+        # topology-aware like make_mesh (multi-hop rings otherwise)
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                ici, devices=np.asarray(devices))
+        except Exception:  # pragma: no cover - odd shapes/backends
+            dev_array = np.asarray(devices).reshape(ici)
     else:
         from jax.experimental import mesh_utils
 

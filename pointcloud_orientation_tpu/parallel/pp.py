@@ -198,6 +198,13 @@ def make_pp_train_step(model, tx, mesh: Mesh, microbatches: int,
     back data-summed automatically (params are unvarying over ``data``, so
     the vma transpose inserts that all-reduce too — divide-by-n lives in
     the pmean'd loss).
+
+    NOTE: like :func:`make_pp_apply`, the pipelined stages run
+    DETERMINISTIC (dropout off) — stage layers would each need a
+    per-stage/per-microbatch PRNG threaded through the shard_map pipe.
+    Models trained through this step therefore run without dropout
+    regularization; use the DP trainer (which trains with the ``'dropout'``
+    collection) when reference-exact regularization matters.
     """
     import optax
     from jax import shard_map

@@ -82,26 +82,42 @@ def ring_attention(
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    m0, o0, l0 = _attend_block(q, k, v, scale, compute_dtype)
-
-    def body(i, carry):
-        m_acc, o_acc, l_acc, k_cur, v_cur = carry
-        # stream the K/V shards around the ring
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        m_blk, o_blk, l_blk = _attend_block(q, k_nxt, v_nxt, scale,
-                                            compute_dtype)
-        # streaming-softmax merge of the new block into the accumulators
+    def merge(acc, blk):
+        # streaming-softmax merge of a new block into the accumulators
+        m_acc, o_acc, l_acc = acc
+        m_blk, o_blk, l_blk = blk
         m_new = jnp.maximum(m_acc, m_blk)
         alpha = jnp.exp(m_acc - m_new)
         beta = jnp.exp(m_blk - m_new)
-        o_new = o_acc * alpha + o_blk * beta
-        l_new = l_acc * alpha + l_blk * beta
-        return m_new, o_new, l_new, k_nxt, v_nxt
+        return m_new, o_acc * alpha + o_blk * beta, l_acc * alpha + l_blk * beta
 
-    m_acc, o_acc, l_acc, _, _ = jax.lax.fori_loop(
-        0, n - 1, body, (m0, o0, l0, k, v)
+    if n == 1:
+        m0, o0, l0 = _attend_block(q, k, v, scale, compute_dtype)
+        return o0 / l0
+
+    # Overlapped ring schedule: each step STARTS the ppermute of the
+    # resident (not-yet-attended) block, then attends that same resident
+    # block while the transfer is in flight — the two have no data
+    # dependence, so the scheduler hides the ICI latency under the block
+    # matmuls (per step: max(transfer, compute), not transfer + compute).
+    # Merge order (own block, then received blocks in ring order) is
+    # IDENTICAL to the serial schedule, so numerics are unchanged.
+    k_nxt = jax.lax.ppermute(k, axis_name, perm)
+    v_nxt = jax.lax.ppermute(v, axis_name, perm)
+    acc = _attend_block(q, k, v, scale, compute_dtype)
+
+    def body(i, carry):
+        acc, k_cur, v_cur = carry
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        acc = merge(acc, _attend_block(q, k_cur, v_cur, scale, compute_dtype))
+        return acc, k_nxt, v_nxt
+
+    acc, k_last, v_last = jax.lax.fori_loop(
+        0, n - 2, body, (acc, k_nxt, v_nxt)
     )
+    m_acc, o_acc, l_acc = merge(
+        acc, _attend_block(q, k_last, v_last, scale, compute_dtype))
     return o_acc / l_acc
 
 

@@ -90,28 +90,45 @@ def make_tp_train_step(
     tx,
     mesh: Mesh,
     data_axis: str = "data",
-    model_axis: str = "model",
     train: bool = False,
 ):
-    """Build ``step(params, opt_state, x, target) -> (params, opt_state,
-    loss)`` with TP(+DP) sharding.
+    """Build ``step(params, opt_state, x, target[, rng]) -> (params,
+    opt_state, loss)`` with TP(+DP) sharding.
 
     ``params``/``opt_state`` live under :func:`tp_param_specs` shardings
-    (use :func:`shard_tp_params`; ``tx.init`` on sharded params yields
-    like-sharded moments), ``x (B, N, 3)``/``target (B, 3)`` are sharded
-    over ``data_axis``. Inside ``jit`` the gradient of a sharded parameter
-    inherits its sharding, so Adam updates stay chip-local; the only
-    cross-chip traffic is the two activation all-reduces per layer (TP) and
-    the loss-gradient all-reduce over ``data`` (DP), all inserted by XLA.
+    (use :func:`shard_tp_params` — the model axis is chosen there;
+    ``tx.init`` on sharded params yields like-sharded moments);
+    ``x (B, N, 3)``/``target (B, 3)`` are constrained to shard over
+    ``data_axis`` (only when the mesh has that axis). Inside ``jit`` the
+    gradient of a sharded parameter inherits its sharding, so Adam updates
+    stay chip-local; the only cross-chip traffic is the two activation
+    all-reduces per layer (TP) and the loss-gradient all-reduce over
+    ``data`` (DP), all inserted by XLA.
+
+    ``train=True`` runs dropout and therefore REQUIRES ``rng`` (the
+    ``'dropout'`` PRNG collection, the repo convention).
     """
     import optax
 
     out_spec = NamedSharding(mesh, P())
+    batch_spec = (
+        NamedSharding(mesh, P(data_axis))
+        if data_axis in mesh.axis_names else None
+    )
 
     @jax.jit
-    def step(params, opt_state, x, target):
+    def step(params, opt_state, x, target, rng=None):
+        if train and rng is None:
+            raise ValueError(
+                "make_tp_train_step(train=True) requires step(..., rng=...) "
+                "for the 'dropout' PRNG collection")
+        if batch_spec is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_spec)
+            target = jax.lax.with_sharding_constraint(target, batch_spec)
+
         def loss_fn(p):
-            out = model.apply({"params": p}, x, train=train)
+            rngs = {"dropout": rng} if rng is not None else None
+            out = model.apply({"params": p}, x, train=train, rngs=rngs)
             return jnp.mean((out - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

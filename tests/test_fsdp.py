@@ -199,3 +199,29 @@ def test_fsdp_remat_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fsdp_train_step_with_dropout_rng():
+    """train=True requires and uses the 'dropout' rng (review r3s4)."""
+    import pytest
+
+    from pointcloud_orientation_tpu.models import PointTransformer
+
+    model = PointTransformer(depth=2, embed_dim=16, num_heads=4,
+                             ffn_dim=32, dropout=0.1)
+    import jax
+    import numpy as np
+    import optax
+
+    kx, kp, kt = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (4, 24, 3))
+    target = jax.random.normal(kt, (4, 3))
+    params = model.init({"params": kp}, x, train=False)["params"]
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(("data",), (2,), jax.devices()[:2])
+    fp = shard_fsdp_params(params, mesh)
+    step = make_fsdp_train_step(model, tx, mesh, train=True)
+    with pytest.raises(ValueError, match="rng"):
+        step(fp, tx.init(fp), x, target)
+    _, _, loss = step(fp, tx.init(fp), x, target, rng=jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))

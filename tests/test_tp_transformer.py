@@ -136,3 +136,25 @@ def test_tp_second_step_and_finite():
     assert float(l2) < float(l1)
     k = p["TransformerEncoderLayer_0"]["Dense_0"]["kernel"]
     assert {s.data.shape for s in k.addressable_shards} == {(16, 16)}
+
+
+def test_tp_train_step_with_dropout_rng():
+    """train=True runs dropout and requires an rng — previously this path
+    crashed with flax's missing-'dropout'-rng error (review finding r3s4);
+    now it trains, and omitting the rng raises a clear ValueError."""
+    model = PointTransformer(depth=2, embed_dim=16, num_heads=4, ffn_dim=32,
+                             dropout=0.1)
+    params, x, target = _init(model)
+    tx = optax.adam(1e-3)
+    mesh = make_mesh(("data", "model"), (1, 2), jax.devices()[:2])
+    tp_params = shard_tp_params(params, mesh)
+    step = make_tp_train_step(model, tx, mesh, train=True)
+    with pytest.raises(ValueError, match="rng"):
+        step(tp_params, tx.init(tp_params), x, target)
+    p, o, loss = step(tp_params, tx.init(tp_params), x, target,
+                      rng=jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+    # dropout actually fired: two different rngs give different losses
+    _, _, loss2 = step(tp_params, tx.init(tp_params), x, target,
+                       rng=jax.random.PRNGKey(8))
+    assert float(loss) != float(loss2)
