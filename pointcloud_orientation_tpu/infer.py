@@ -59,16 +59,39 @@ class OrientationPredictor:
         scales: Optional[Dict] = None,
         mesh=None,
         mesh_axis: str = "data",
+        tta_views: int = 1,
         **model_kwargs: Any,
     ):
         """``mesh``/``mesh_axis``: optional multi-chip serving — weights are
         replicated over the mesh and each request's bucket batch is sharded
         over ``mesh_axis`` (XLA data-parallel inference; buckets round up to
-        a multiple of the axis size so shards stay static-shaped)."""
+        a multiple of the axis size so shards stay static-shaped).
+
+        ``tta_views`` (8-dir models; 1, 2, 4 or 8): test-time augmentation
+        by yaw-rotation voting. The 8-direction basis is exactly
+        equivariant to 45° yaw multiples, so each view's distribution is
+        slot-unshifted before averaging — view noise cancels while the
+        signal aligns. Measured: mean angular error 6.97° → 1.91° at V=8
+        (RESULTS.md "Yaw-voting TTA") for V× inference FLOPs. Outputs stay
+        logits (log of the averaged distribution), so every downstream
+        decode path is unchanged."""
         self.model = MODEL_REGISTRY[model_name](**model_kwargs)
         self.model_name = model_name
         self.num_points = num_points
         self.max_batch = max_batch
+        if tta_views not in (1, 2, 4, 8):
+            raise ValueError(
+                f"tta_views must be 1, 2, 4 or 8 (45°-multiple views), "
+                f"got {tta_views}")
+        if tta_views > 1 and model_name != "pointnet_pp_8dir":
+            raise ValueError(
+                "yaw-voting TTA needs the 8-dir head's label-space "
+                f"equivariance; model {model_name!r} is unsupported")
+        if tta_views > 1 and mesh is not None:
+            raise ValueError(
+                "tta_views > 1 with a mesh is unsupported (the view-stacked "
+                "batch would break the bucket sharding)")
+        self.tta_views = tta_views
         self._scales = None
         if scales is not None:  # params arrive already int8-quantized
             self._scales = {k: jnp.asarray(v) for k, v in scales.items()}
@@ -98,6 +121,8 @@ class OrientationPredictor:
             self._in_sharding = NamedSharding(mesh, P(mesh_axis))
             self._axis_size = mesh.shape[mesh_axis]
 
+        V = self.tta_views
+
         @functools.partial(jax.jit, static_argnames=())
         def _apply(variables, scales, pts, rng):
             if scales:  # weight-only int8: dequant fuses into the matmuls
@@ -107,9 +132,30 @@ class OrientationPredictor:
                     variables,
                     params=dequantize_params(variables["params"], scales),
                 )
-            return self.model.apply(
-                variables, pts, train=False, rngs={"sampling": rng}
+            if V == 1:
+                return self.model.apply(
+                    variables, pts, train=False, rngs={"sampling": rng}
+                )
+            # yaw-voting TTA: one model call on the (V*B) view-stacked
+            # batch, per-view slot unshift, average, back to logits
+            from .ops.rotations import yaw_matrix
+
+            step = 8 // V
+            angles = jnp.asarray(
+                [i * step * jnp.pi / 4 for i in range(V)])
+            rots = yaw_matrix(angles)  # (V, 3, 3)
+            B = pts.shape[0]
+            views = jnp.einsum(
+                "vij,bnj->vbni", rots, pts,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(V * B, *pts.shape[1:])
+            logits = self.model.apply(
+                variables, views, train=False, rngs={"sampling": rng}
             )
+            probs = jax.nn.softmax(logits, axis=-1).reshape(V, B, 8)
+            unshifted = jnp.stack(
+                [jnp.roll(probs[i], i * step, axis=-1) for i in range(V)])
+            return jnp.log(unshifted.mean(0) + 1e-12)
 
         self._apply = _apply
 

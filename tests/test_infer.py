@@ -112,3 +112,43 @@ def test_mesh_sharded_serving_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(single(big)), np.asarray(sharded(big)), rtol=2e-4, atol=2e-4
     )
+
+
+def test_tta_views_validation():
+    with pytest.raises(ValueError, match="tta_views"):
+        _make_predictor("pointnet_pp_8dir", PointNetPP8Dir, tta_views=3)
+    with pytest.raises(ValueError, match="equivariance"):
+        _make_predictor("pointnet_pp_fwd", PointNetPPFwd, tta_views=4)
+
+
+def test_tta_matches_manual_view_average():
+    """V=8 yaw-voting must equal the hand-computed unshift-average of the
+    8 single-view predictions (deterministic 'first' sampling so the view
+    stack and per-view calls run identical math)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.ops.rotations import yaw_matrix
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    variables = PointNetPP8Dir(sampling="first").init(
+        {"params": jax.random.PRNGKey(1)}, x, train=False)
+    mk = functools.partial(
+        OrientationPredictor, "pointnet_pp_8dir", variables["params"],
+        variables.get("batch_stats"), num_points=64, sampling="first")
+    p1, p8 = mk(), mk(tta_views=8)
+    clouds = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, 64, 3)), np.float32)
+
+    views = []
+    for k in range(8):
+        rot = np.asarray(yaw_matrix(jnp.asarray(k * np.pi / 4)))
+        view = clouds @ rot.T
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(p1(view)), axis=-1))
+        views.append(np.roll(probs, k, axis=-1))
+    manual = np.stack(views).mean(0)
+
+    tta_probs = np.asarray(jax.nn.softmax(jnp.asarray(p8(clouds)), axis=-1))
+    np.testing.assert_allclose(tta_probs, manual, atol=1e-5)
+    np.testing.assert_allclose(tta_probs.sum(-1), 1.0, atol=1e-5)
