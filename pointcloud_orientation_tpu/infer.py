@@ -79,19 +79,31 @@ class OrientationPredictor:
         self.model_name = model_name
         self.num_points = num_points
         self.max_batch = max_batch
-        if tta_views not in (1, 2, 4, 8):
-            raise ValueError(
-                f"tta_views must be 1, 2, 4 or 8 (45°-multiple views), "
-                f"got {tta_views}")
-        if tta_views > 1 and model_name != "pointnet_pp_8dir":
-            raise ValueError(
-                "yaw-voting TTA needs the 8-dir head's label-space "
-                f"equivariance; model {model_name!r} is unsupported")
-        if tta_views > 1 and mesh is not None:
-            raise ValueError(
-                "tta_views > 1 with a mesh is unsupported (the view-stacked "
-                "batch would break the bucket sharding)")
+        _tta_vector = {"pointnet_pp", "pointnet_pp_fwd", "simple_pointnet",
+                       "point_transformer"}
+        _tta_tuple = {"pointnet_pp_xyz", "pointnet_pp_xyz_schmidt"}
+        if tta_views < 1:
+            raise ValueError(f"tta_views must be >= 1, got {tta_views}")
+        if tta_views > 1:
+            if model_name == "pointnet_pp_8dir":
+                if tta_views not in (2, 4, 8):
+                    raise ValueError(
+                        "8-dir TTA needs 45°-multiple views: tta_views in "
+                        f"(2, 4, 8), got {tta_views}")
+            elif model_name not in _tta_vector | _tta_tuple:
+                raise ValueError(
+                    "yaw-voting TTA needs a yaw-equivariant head (8-dir "
+                    "slot shift or forward/axes vector derotation); model "
+                    f"{model_name!r} is unsupported")
+            if mesh is not None:
+                raise ValueError(
+                    "tta_views > 1 with a mesh is unsupported (the "
+                    "view-stacked batch would break the bucket sharding)")
         self.tta_views = tta_views
+        self._tta_mode = (
+            "slots" if model_name == "pointnet_pp_8dir"
+            else "tuple" if model_name in _tta_tuple
+            else "vector")
         self._scales = None
         if scales is not None:  # params arrive already int8-quantized
             self._scales = {k: jnp.asarray(v) for k, v in scales.items()}
@@ -137,25 +149,47 @@ class OrientationPredictor:
                     variables, pts, train=False, rngs={"sampling": rng}
                 )
             # yaw-voting TTA: one model call on the (V*B) view-stacked
-            # batch, per-view slot unshift, average, back to logits
+            # batch, per-view derotation, average. 8-dir: 45°-multiple
+            # views unshift by label slots; vector/axes heads: ANY-angle
+            # views derotate the predicted vectors (R^T v), exact yaw
+            # equivariance in both cases.
             from .ops.rotations import yaw_matrix
 
-            step = 8 // V
-            angles = jnp.asarray(
-                [i * step * jnp.pi / 4 for i in range(V)])
+            if self._tta_mode == "slots":
+                step = 8 // V
+                angles = jnp.asarray(
+                    [i * step * jnp.pi / 4 for i in range(V)])
+            else:
+                angles = jnp.asarray(
+                    [i * 2.0 * jnp.pi / V for i in range(V)])
             rots = yaw_matrix(angles)  # (V, 3, 3)
             B = pts.shape[0]
             views = jnp.einsum(
                 "vij,bnj->vbni", rots, pts,
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(V * B, *pts.shape[1:])
-            logits = self.model.apply(
+            out = self.model.apply(
                 variables, views, train=False, rngs={"sampling": rng}
             )
-            probs = jax.nn.softmax(logits, axis=-1).reshape(V, B, 8)
-            unshifted = jnp.stack(
-                [jnp.roll(probs[i], i * step, axis=-1) for i in range(V)])
-            return jnp.log(unshifted.mean(0) + 1e-12)
+            if self._tta_mode == "slots":
+                step = 8 // V
+                probs = jax.nn.softmax(out, axis=-1).reshape(V, B, 8)
+                unshifted = jnp.stack(
+                    [jnp.roll(probs[i], i * step, axis=-1)
+                     for i in range(V)])
+                return jnp.log(unshifted.mean(0) + 1e-12)
+
+            def derotate_mean(vecs):
+                vv = vecs.reshape(V, B, 3)
+                back = jnp.einsum(
+                    "vji,vbj->vbi", rots, vv,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # R(-θ) v per view
+                return back.mean(0)
+
+            if self._tta_mode == "tuple":
+                return tuple(derotate_mean(v) for v in out)
+            return derotate_mean(out)
 
         self._apply = _apply
 

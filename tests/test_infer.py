@@ -117,8 +117,13 @@ def test_mesh_sharded_serving_matches_single_device(rng):
 def test_tta_views_validation():
     with pytest.raises(ValueError, match="tta_views"):
         _make_predictor("pointnet_pp_8dir", PointNetPP8Dir, tta_views=3)
-    with pytest.raises(ValueError, match="equivariance"):
-        _make_predictor("pointnet_pp_fwd", PointNetPPFwd, tta_views=4)
+    from pointcloud_orientation_tpu.models import PointNetPPVonMises
+
+    with pytest.raises(ValueError, match="equivariance|unsupported"):
+        _make_predictor("pointnet_pp_von_mises", PointNetPPVonMises,
+                        tta_views=4)
+    # vector heads accept any V >= 2 (no 45-degree restriction)
+    _make_predictor("pointnet_pp_fwd", PointNetPPFwd, tta_views=3)
 
 
 def test_tta_matches_manual_view_average():
@@ -152,3 +157,48 @@ def test_tta_matches_manual_view_average():
     tta_probs = np.asarray(jax.nn.softmax(jnp.asarray(p8(clouds)), axis=-1))
     np.testing.assert_allclose(tta_probs, manual, atol=1e-5)
     np.testing.assert_allclose(tta_probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_tta_vector_head_matches_manual_derotation():
+    """Forward-vector heads TTA at any view count: predictions on rotated
+    views, derotated (R^T v) and averaged, must match the predictor."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.models import PointNetPPFwd
+    from pointcloud_orientation_tpu.ops.rotations import yaw_matrix
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    variables = PointNetPPFwd(sampling="first").init(
+        {"params": jax.random.PRNGKey(1)}, x, train=False)
+    mk = functools.partial(
+        OrientationPredictor, "pointnet_pp_fwd", variables["params"],
+        variables.get("batch_stats"), num_points=64, sampling="first")
+    p1, p3 = mk(), mk(tta_views=3)  # any V works for vector heads
+    clouds = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, 64, 3)), np.float32)
+
+    views = []
+    for k in range(3):
+        rot = np.asarray(yaw_matrix(jnp.asarray(k * 2 * np.pi / 3)))
+        pred = np.asarray(p1(clouds @ rot.T))
+        views.append(pred @ rot)  # R^T v  (row-vector form)
+    manual = np.stack(views).mean(0)
+
+    np.testing.assert_allclose(np.asarray(p3(clouds)), manual, atol=1e-5)
+
+
+def test_tta_axes_tuple_head():
+    """Two-head axes models TTA: each returned vector derotates."""
+    from pointcloud_orientation_tpu.models import PointNetPPXYZ
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    variables = PointNetPPXYZ(sampling="first").init(
+        {"params": jax.random.PRNGKey(1)}, x, train=False)
+    p = OrientationPredictor(
+        "pointnet_pp_xyz", variables["params"], variables.get("batch_stats"),
+        num_points=64, sampling="first", tta_views=4)
+    out = p(np.asarray(x, np.float32))
+    assert isinstance(out, tuple) and len(out) == 2
+    assert out[0].shape == (2, 3) and out[1].shape == (2, 3)
