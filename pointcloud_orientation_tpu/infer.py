@@ -67,14 +67,23 @@ class OrientationPredictor:
         over ``mesh_axis`` (XLA data-parallel inference; buckets round up to
         a multiple of the axis size so shards stay static-shaped).
 
-        ``tta_views`` (8-dir models; 1, 2, 4 or 8): test-time augmentation
-        by yaw-rotation voting. The 8-direction basis is exactly
-        equivariant to 45° yaw multiples, so each view's distribution is
-        slot-unshifted before averaging — view noise cancels while the
-        signal aligns. Measured: mean angular error 6.97° → 1.91° at V=8
-        (RESULTS.md "Yaw-voting TTA") for V× inference FLOPs. Outputs stay
-        logits (log of the averaged distribution), so every downstream
-        decode path is unchanged."""
+        ``tta_views``: test-time augmentation by yaw-rotation voting, for
+        every yaw-equivariant head family:
+
+        * 8-dir (V in 2/4/8 — 45°-multiple views): per-view distributions
+          are slot-unshifted then averaged; outputs stay logits.
+          Measured 6.97° → 1.91° at V=8 (RESULTS.md "Yaw-voting TTA").
+        * forward/axes vector heads (any V): predicted vectors derotate
+          by R(θ)ᵀ and average.
+        * von Mises (any V): per-view μ derotates by +θ; the exact
+          density average (a V-component mixture) is moment-matched back
+          to a single (μ, κ) so the head contract is unchanged.
+        * MvM (any V): component μ's derotate; the output is the exact
+          averaged mixture with V·K components (weights ÷ V) — same
+          tuple structure, wider component axis.
+
+        View noise cancels while the signal aligns, for V× inference
+        FLOPs."""
         self.model = MODEL_REGISTRY[model_name](**model_kwargs)
         self.model_name = model_name
         self.num_points = num_points
@@ -82,6 +91,7 @@ class OrientationPredictor:
         _tta_vector = {"pointnet_pp", "pointnet_pp_fwd", "simple_pointnet",
                        "point_transformer"}
         _tta_tuple = {"pointnet_pp_xyz", "pointnet_pp_xyz_schmidt"}
+        _tta_dist = {"pointnet_pp_von_mises", "pointnet_pp_mvm"}
         if tta_views < 1:
             raise ValueError(f"tta_views must be >= 1, got {tta_views}")
         if tta_views > 1:
@@ -90,10 +100,11 @@ class OrientationPredictor:
                     raise ValueError(
                         "8-dir TTA needs 45°-multiple views: tta_views in "
                         f"(2, 4, 8), got {tta_views}")
-            elif model_name not in _tta_vector | _tta_tuple:
+            elif model_name not in _tta_vector | _tta_tuple | _tta_dist:
                 raise ValueError(
                     "yaw-voting TTA needs a yaw-equivariant head (8-dir "
-                    "slot shift or forward/axes vector derotation); model "
+                    "slot shift, forward/axes vector derotation, or "
+                    "vM/MvM angle derotation); model "
                     f"{model_name!r} is unsupported")
             if mesh is not None:
                 raise ValueError(
@@ -103,6 +114,8 @@ class OrientationPredictor:
         self._tta_mode = (
             "slots" if model_name == "pointnet_pp_8dir"
             else "tuple" if model_name in _tta_tuple
+            else "vm" if model_name == "pointnet_pp_von_mises"
+            else "mvm" if model_name == "pointnet_pp_mvm"
             else "vector")
         self._scales = None
         if scales is not None:  # params arrive already int8-quantized
@@ -179,6 +192,36 @@ class OrientationPredictor:
                      for i in range(V)])
                 return jnp.log(unshifted.mean(0) + 1e-12)
 
+            # distribution heads: rotating a cloud by yaw(theta) shifts the
+            # label angle by -theta (measured: ops/rotations.py mu
+            # convention), so each view's mu derotates by +angle.
+            if self._tta_mode == "vm":
+                from .ops.von_mises import vm_mixture_moment_match
+
+                mu, kappa = out  # (V*B,) each
+                mu = mu.reshape(V, B) + angles[:, None]
+                kappa = kappa.reshape(V, B)
+                # exact density average is a V-component mixture; the head's
+                # (mu, kappa) contract is kept by the first-circular-moment
+                # fit (mu* = arg m1, kappa* = A^-1(|m1|))
+                return vm_mixture_moment_match(mu, kappa, axis=0)
+            if self._tta_mode == "mvm":
+                from .ops.von_mises import wrap_angle
+
+                mu, kappa, w = out  # (V*B, K) each
+                K = mu.shape[-1]
+                # the average of V mixtures IS a mixture: return the exact
+                # (V*K)-component result — weights scaled by 1/V, every
+                # downstream consumer (grid density, argmax-weight decode)
+                # works unchanged on the wider component axis
+                mu = wrap_angle(mu.reshape(V, B, K) + angles[:, None, None])
+                mu = jnp.moveaxis(mu, 0, 1).reshape(B, V * K)
+                kappa = jnp.moveaxis(
+                    kappa.reshape(V, B, K), 0, 1).reshape(B, V * K)
+                w = jnp.moveaxis(
+                    w.reshape(V, B, K), 0, 1).reshape(B, V * K) / V
+                return mu, kappa, w
+
             def derotate_mean(vecs):
                 vv = vecs.reshape(V, B, 3)
                 back = jnp.einsum(
@@ -232,7 +275,11 @@ class OrientationPredictor:
         bucket = self._axis_size  # each mesh shard gets an equal static slice
         while bucket < b:
             bucket *= 2
-        return min(bucket, max(self.max_batch, self._axis_size))
+        # the clamp must stay a multiple of the axis size too, or device_put
+        # with a NamedSharding over the batch axis rejects the bucket (e.g.
+        # axis 16, max_batch=24 -> clamp to 32, not 24)
+        cap = _round_up(max(self.max_batch, self._axis_size), self._axis_size)
+        return min(bucket, cap)
 
     def __call__(self, clouds: np.ndarray):
         """Run the model on ``(B, N, 3)`` clouds (any B <= max_batch, any N);

@@ -119,8 +119,9 @@ def _approx_eligible(n: int) -> bool:
 
 
 # Route the env knobs through the validating setter so a typo
-# (PCOT_KNN=Approx, =1, trailing space) fails loudly at import instead of
-# silently running the exact path under an "approx" banner.
+# (PCOT_KNN=Approx, =1) fails loudly at import instead of silently running
+# the exact path under an "approx" banner. Values are .strip()ed first:
+# whitespace is shell noise, not a user intent worth failing on.
 if ("PCOT_KNN" in os.environ or "PCOT_KNN_RECALL" in os.environ
         or "PCOT_KNN_APPROX_MIN_N" in os.environ):
     set_knn_impl(

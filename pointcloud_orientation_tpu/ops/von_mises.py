@@ -29,6 +29,48 @@ def bessel_ratio(kappa: jax.Array) -> jax.Array:
     return i1e(kappa) / i0e(kappa)
 
 
+def inv_bessel_ratio(r: jax.Array, iters: int = 4) -> jax.Array:
+    """Inverse of ``A(kappa) = I1/I0``: the ``kappa`` with ``A(kappa) = r``.
+
+    Banerjee et al. (2005) closed-form seed ``r (2 - r^2) / (1 - r^2)``
+    refined by ``iters`` Newton steps using ``A'(k) = 1 - A/k - A^2``
+    (all through scaled Bessels, so stable at any resultant). Used to
+    moment-match a view-averaged von Mises mixture back to a single vM
+    (TTA for the distribution heads). ``r`` is clipped to ``[0, 1-1e-6]``;
+    ``r = 0`` maps to ``kappa = 0`` (uniform)."""
+    r = jnp.clip(r, 0.0, 1.0 - 1e-6)
+    kappa = r * (2.0 - r * r) / jnp.maximum(1.0 - r * r, 1e-12)
+
+    def newton(kappa, _):
+        a = bessel_ratio(kappa)
+        # at kappa -> 0: A ~ kappa/2 so A' -> 1/2; the maximum() guards the
+        # kappa = 0 fixed point (where a - r = 0 anyway)
+        da = jnp.maximum(1.0 - a / jnp.maximum(kappa, 1e-12) - a * a, 1e-6)
+        return jnp.maximum(kappa - (a - r) / da, 0.0), None
+
+    kappa, _ = jax.lax.scan(newton, kappa, None, length=iters)
+    return kappa
+
+
+def vm_mixture_moment_match(
+    mu: jax.Array, kappa: jax.Array, weight: jax.Array | None = None,
+    axis: int = -1,
+):
+    """Best single-von-Mises fit (by the first circular moment) to a
+    mixture of von Mises components along ``axis``.
+
+    The mixture's first moment is ``m1 = sum_k w_k A(kappa_k) e^{i mu_k}``;
+    the matched vM takes ``mu* = arg m1`` and ``kappa* = A^{-1}(|m1|)``.
+    ``weight=None`` means equal weights. This is the exact circular analogue
+    of matching mean/variance for a Gaussian mixture."""
+    a = bessel_ratio(kappa)
+    if weight is None:
+        weight = jnp.ones_like(mu) / mu.shape[axis]
+    cr = jnp.sum(weight * a * jnp.cos(mu), axis=axis)
+    sr = jnp.sum(weight * a * jnp.sin(mu), axis=axis)
+    return jnp.arctan2(sr, cr), inv_bessel_ratio(jnp.hypot(cr, sr))
+
+
 def wrap_angle(delta: jax.Array) -> jax.Array:
     """Wrap an angle difference to ``[-pi, pi]``.
 

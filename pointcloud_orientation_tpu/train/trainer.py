@@ -154,6 +154,8 @@ class Trainer:
             kwargs["normalize_heads"] = cfg.axes_normalize_heads
         if "attention_impl" in fields:
             kwargs["attention_impl"] = cfg.transformer_attention
+        if "n_experts" in fields:
+            kwargs["n_experts"] = cfg.moe_experts
         if cfg.compute_dtype and "dtype" in fields:
             kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
         return model_cls(**kwargs)
@@ -480,6 +482,7 @@ class Trainer:
         log_every: int,
         start_epoch: int,
         preemption_guard=None,
+        checkpoint_dir: Optional[str] = None,
     ):
         """Block-scanned fit: identical epoch math and PRNG streams to the
         per-epoch path (keys are built from absolute epoch numbers inside
@@ -552,10 +555,22 @@ class Trainer:
                     )
             epoch = e_hi + 1
             if preemption_guard is not None and preemption_guard.requested:
-                print(f"[preempt] graceful stop after epoch {e_hi}")
+                preempted_at = e_hi
+                print(
+                    f"[preempt] graceful stop after epoch {e_hi}"
+                    + (f"; checkpoint in {checkpoint_dir}"
+                       if checkpoint_dir else "")
+                )
                 break
+        else:
+            preempted_at = None
 
         self.state, bv, bp, bs, be = carry
+        if checkpoint_dir and preempted_at is not None:
+            # fit()'s contract: a fired guard saves a final checkpoint when
+            # checkpoint_dir is set — this fast path has no periodic saves,
+            # so the preempt save is the only one
+            self.save_checkpoint(checkpoint_dir, step=preempted_at)
         bv = float(np.asarray(bv))
         if np.isfinite(bv) and bv < float("inf"):
             self.best_val = bv
@@ -815,7 +830,8 @@ class Trainer:
         if not cfg.debug_checks and not cfg.host_resident and not (
                 checkpoint_dir and cfg.checkpoint_every):
             return self._fit_blocks(
-                epochs, log_every, start_epoch, preemption_guard
+                epochs, log_every, start_epoch, preemption_guard,
+                checkpoint_dir=checkpoint_dir,
             )
         t_start = time.time()
         for epoch in range(start_epoch, epochs + 1):
@@ -850,6 +866,10 @@ class Trainer:
 
             if preemption_guard is not None and preemption_guard.requested:
                 if checkpoint_dir:
+                    # an async save for this very epoch may still be in
+                    # flight; force=True deletes existing paths, so racing
+                    # it could corrupt the write — drain first
+                    self.wait_for_checkpoints()
                     self.save_checkpoint(checkpoint_dir, step=epoch)
                 print(
                     f"[preempt] graceful stop after epoch {epoch}"

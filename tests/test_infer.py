@@ -117,13 +117,16 @@ def test_mesh_sharded_serving_matches_single_device(rng):
 def test_tta_views_validation():
     with pytest.raises(ValueError, match="tta_views"):
         _make_predictor("pointnet_pp_8dir", PointNetPP8Dir, tta_views=3)
+    from pointcloud_orientation_tpu.models import PointNetPPCls
+
+    # a classifier head has no yaw-equivariant output to derotate
+    with pytest.raises(ValueError, match="equivariance|unsupported"):
+        _make_predictor("pointnet_pp_cls", PointNetPPCls, tta_views=4)
+    # vector and distribution heads accept any V >= 2 (no 45-deg restriction)
+    _make_predictor("pointnet_pp_fwd", PointNetPPFwd, tta_views=3)
     from pointcloud_orientation_tpu.models import PointNetPPVonMises
 
-    with pytest.raises(ValueError, match="equivariance|unsupported"):
-        _make_predictor("pointnet_pp_von_mises", PointNetPPVonMises,
-                        tta_views=4)
-    # vector heads accept any V >= 2 (no 45-degree restriction)
-    _make_predictor("pointnet_pp_fwd", PointNetPPFwd, tta_views=3)
+    _make_predictor("pointnet_pp_von_mises", PointNetPPVonMises, tta_views=3)
 
 
 def test_tta_matches_manual_view_average():
@@ -202,3 +205,87 @@ def test_tta_axes_tuple_head():
     out = p(np.asarray(x, np.float32))
     assert isinstance(out, tuple) and len(out) == 2
     assert out[0].shape == (2, 3) and out[1].shape == (2, 3)
+
+
+def test_tta_vm_head_matches_manual_moment_match():
+    """von Mises TTA: per-view (mu, kappa) derotated by +theta and
+    moment-matched must equal the predictor's combined output."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.models import PointNetPPVonMises
+    from pointcloud_orientation_tpu.ops.rotations import yaw_matrix
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        vm_mixture_moment_match,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    variables = PointNetPPVonMises(sampling="first").init(
+        {"params": jax.random.PRNGKey(1)}, x, train=False)
+    mk = functools.partial(
+        OrientationPredictor, "pointnet_pp_von_mises", variables["params"],
+        variables.get("batch_stats"), num_points=64, sampling="first")
+    p1, p4 = mk(), mk(tta_views=4)
+    clouds = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, 64, 3)), np.float32)
+
+    mus, kappas = [], []
+    for k in range(4):
+        theta = k * 2 * np.pi / 4
+        rot = np.asarray(yaw_matrix(jnp.asarray(theta)))
+        mu_v, kappa_v = p1(clouds @ rot.T)
+        mus.append(np.asarray(mu_v) + theta)  # derotate: +theta
+        kappas.append(np.asarray(kappa_v))
+    mu_m, kappa_m = vm_mixture_moment_match(
+        jnp.asarray(np.stack(mus)), jnp.asarray(np.stack(kappas)), axis=0)
+
+    mu_t, kappa_t = p4(clouds)
+    np.testing.assert_allclose(np.asarray(mu_t), np.asarray(mu_m), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kappa_t), np.asarray(kappa_m), atol=1e-4)
+    assert np.all(np.abs(np.asarray(mu_t)) <= np.pi + 1e-6)
+
+
+def test_tta_mvm_head_exact_mixture_average():
+    """MvM TTA returns the exact averaged mixture: its grid density must
+    equal the mean of the per-view derotated component densities."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.models import PointNetPPMvM
+    from pointcloud_orientation_tpu.ops.rotations import yaw_matrix
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        mixture_von_mises_pdf, wrap_angle,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    variables = PointNetPPMvM(sampling="first").init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(5)},
+        x, train=False)
+    mk = functools.partial(
+        OrientationPredictor, "pointnet_pp_mvm", variables["params"],
+        variables.get("batch_stats"), num_points=64, sampling="first")
+    p1, p3 = mk(), mk(tta_views=3)
+    clouds = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, 64, 3)), np.float32)
+
+    grid = jnp.linspace(0.0, 2 * np.pi, 181)[:-1]
+    densities = []
+    for k in range(3):
+        theta = k * 2 * np.pi / 3
+        rot = np.asarray(yaw_matrix(jnp.asarray(theta)))
+        mu_v, kappa_v, w_v = (jnp.asarray(np.asarray(o))
+                              for o in p1(clouds @ rot.T))
+        densities.append(mixture_von_mises_pdf(
+            grid[None, :], wrap_angle(mu_v + theta), kappa_v, w_v))
+    manual = jnp.stack(densities).mean(0)
+
+    mu_t, kappa_t, w_t = (jnp.asarray(np.asarray(o)) for o in p3(clouds))
+    assert mu_t.shape == (2, 3 * 4) and w_t.shape == (2, 3 * 4)
+    np.testing.assert_allclose(
+        float(jnp.sum(w_t, -1)[0]), 1.0, atol=1e-5)  # weights still sum to 1
+    tta_density = mixture_von_mises_pdf(grid[None, :], mu_t, kappa_t, w_t)
+    np.testing.assert_allclose(
+        np.asarray(tta_density), np.asarray(manual), atol=1e-5)

@@ -218,3 +218,43 @@ def test_unmatched_penalty_blocks_weight_collapse():
         mu_g, kappa_g, ks,
     )
     assert float(jnp.max(legacy)) < 1e-3
+
+
+def test_inv_bessel_ratio_round_trip():
+    """A^{-1}(A(kappa)) == kappa across the useful range (0 .. 500)."""
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        bessel_ratio, inv_bessel_ratio,
+    )
+
+    kappa = jnp.asarray([0.0, 0.05, 0.5, 1.0, 2.0, 5.0, 20.0, 80.0, 500.0])
+    back = inv_bessel_ratio(bessel_ratio(kappa))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(kappa),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_vm_mixture_moment_match_against_grid_integration():
+    """mu*, kappa* must reproduce the mixture's first circular moment
+    computed by direct numerical integration of the density."""
+    import jax.numpy as jnp
+
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        bessel_ratio, mixture_von_mises_pdf, vm_mixture_moment_match,
+    )
+
+    mu = jnp.asarray([[0.3, -2.5, 1.1]])
+    kappa = jnp.asarray([[4.0, 9.0, 2.0]])
+    w = jnp.asarray([[0.5, 0.3, 0.2]])
+
+    theta = jnp.linspace(0.0, 2 * np.pi, 20001)[:-1]
+    p = mixture_von_mises_pdf(theta[None, :], mu, kappa, w)  # (1, T)
+    p = p / p.sum(-1, keepdims=True)
+    m_c = float(jnp.sum(p * jnp.cos(theta)))
+    m_s = float(jnp.sum(p * jnp.sin(theta)))
+
+    mu_star, kappa_star = vm_mixture_moment_match(mu, kappa, w, axis=-1)
+    assert abs(float(mu_star[0]) - np.arctan2(m_s, m_c)) < 1e-4
+    r_grid = np.hypot(m_c, m_s)
+    r_fit = float(bessel_ratio(kappa_star)[0])
+    assert abs(r_fit - r_grid) < 1e-4
