@@ -45,6 +45,11 @@ CLASSES_8DIR = ["chair", "toilet", "sofa", "plant", "bowl", "bottle"]
 # north-star eval labels (BASELINE.md): chair, bottle, door
 CLASSES_ALL = CLASSES_8DIR + ["door"]
 AXES_LABELS = ["chair", "bottle", "door"]
+# the MvM protocol's 12 categories (`data_process/2d_multi_peak_MvM_gt_1.py:
+# 13-26`): CLASSES_ALL plus five classes materialized separately (r4) so
+# the base trees — and the r3 artifacts trained on them — stay byte-stable
+MVM_EXTRA = ["cone", "car", "curtain", "bathtub", "glass_box"]
+MVM_CLASSES_X = sorted(CLASSES_ALL + MVM_EXTRA)
 
 
 # ---------------------------------------------------------------- materialize
@@ -90,6 +95,101 @@ def materialize(root: str = DATA_ROOT, train_per_class: int = 64,
         if not os.path.islink(link):
             os.symlink(os.path.join(root, "train_tree", cls), link)
     print(f"6-class view -> {view}")
+
+
+def _write_canonical(dst, seed, per_class, classes, src_points=2048):
+    sys.path.insert(0, REPO)
+    from pointcloud_orientation_tpu.data.hdf5 import synthetic_modelnet
+    from pointcloud_orientation_tpu.data.ply import write_ply
+
+    pts, labels, names = synthetic_modelnet(
+        seed=seed, class_names=classes, samples_per_class=per_class,
+        num_points=src_points)
+    for ci, name in enumerate(names):
+        cdir = os.path.join(dst, name)
+        os.makedirs(cdir, exist_ok=True)
+        for j, si in enumerate(np.flatnonzero(labels == ci)):
+            write_ply(pts[si], os.path.join(cdir, f"{name}_{j:04d}.ply"))
+
+
+def _link_view(view: str, sources) -> str:
+    """Build a view with REAL class dirs containing per-FILE symlinks.
+    (Dir-level symlinks break the reference's ``ROOT.rglob`` discovery —
+    pathlib's recursive glob does not descend into symlinked directories.)"""
+    for cls, src in sources.items():
+        cdir = os.path.join(view, cls)
+        os.makedirs(cdir, exist_ok=True)
+        for fname in sorted(os.listdir(src)):
+            link = os.path.join(cdir, fname)
+            if not os.path.islink(link):
+                os.symlink(os.path.join(src, fname), link)
+    return view
+
+
+def materialize_dist(root: str = DATA_ROOT, train_per_class: int = 64,
+                     eval_per_class: int = 128) -> None:
+    """Round-4 extension: shared data for the vm_kl and mvm legs.
+
+    Adds (a) ``_single_peak_vM_gt.txt`` + ``_multi_peak_vM_gt.txt``
+    sidecars next to every base-tree PLY, (b) the five MvM-only classes in
+    separate ``mvm_extra_*`` trees (distinct seeds; the base trees stay
+    byte-identical to round 3's, so the committed 8dir/axes artifacts
+    remain reproducible), and (c) 12-class ``mvm_view_{train,eval}``
+    symlink views matching the reference's ROOT layout
+    (`train_multi_peaks_vonMises_KL.py:19-20` — GT txts next to the PLYs,
+    discovered by rglob)."""
+    sys.path.insert(0, REPO)
+    from pointcloud_orientation_tpu.data.offline import (
+        generate_mvm_gt, generate_single_peak_gt, rotate_tree)
+
+    # TRAIN: extras tree for the five MvM-only classes + sidecars in place
+    extra = os.path.join(root, "mvm_extra_train_tree")
+    if not os.path.isdir(extra):
+        canon = os.path.join(root, "canon_mvm_extra_train")
+        _write_canonical(canon, 142, train_per_class, MVM_EXTRA)
+        n = rotate_tree(canon, extra, mode="yaw", seed=242)
+        print(f"mvm extra train: {n} clouds -> {extra}")
+    base = os.path.join(root, "train_tree")
+    n_vm = generate_single_peak_gt(base)
+    n_mv = generate_mvm_gt(base, base) + generate_mvm_gt(extra, extra)
+    view = _link_view(
+        os.path.join(root, "mvm_view_train"),
+        {cls: os.path.join(base if cls in CLASSES_ALL else extra, cls)
+         for cls in MVM_CLASSES_X})
+    print(f"train: {n_vm} vM sidecars, {n_mv} MvM sidecars; "
+          f"12-class view -> {view}")
+
+    # EVAL: one fresh 12-class tree (eval_per_class clouds each) with every
+    # sidecar family — 4x the r3 eval draw for the 7 base classes, shared
+    # by the vm (6-class subset) and mvm (12-class) legs
+    dist_eval = os.path.join(root, "dist_eval_tree")
+    if not os.path.isdir(dist_eval):
+        canon = os.path.join(root, "canon_dist_eval")
+        _write_canonical(canon, 107, eval_per_class, MVM_CLASSES_X)
+        n = rotate_tree(canon, dist_eval, mode="yaw", seed=223)
+        print(f"dist eval: {n} clouds -> {dist_eval}")
+    n_vm = generate_single_peak_gt(dist_eval)
+    n_mv = generate_mvm_gt(dist_eval, dist_eval)
+    print(f"eval: {n_vm} vM sidecars, {n_mv} MvM sidecars -> {dist_eval}")
+    print("done (vm leg trains on the existing train_tree_6class view)")
+
+
+def materialize_axes_big(root: str = DATA_ROOT, per_class: int = 256) -> None:
+    """Statistically-powered axes eval set (VERDICT r3 weak #5): the r3
+    leg's 32 eval clouds/label made per-label deltas noise; 256/label gives
+    the delta a standard error ~2.8x smaller. New seeds — this is an
+    independent eval draw, shared by both stacks."""
+    sys.path.insert(0, REPO)
+    from pointcloud_orientation_tpu.data.offline import rotate_tree
+
+    canon = os.path.join(root, "canon_axes_eval_big")
+    tree = os.path.join(root, "axes_eval_big_tree")
+    if os.path.isdir(tree):
+        print(f"{tree} exists; skipping")
+        return
+    _write_canonical(canon, 8, per_class, AXES_LABELS)
+    n = rotate_tree(canon, tree, mode="yaw", seed=124)
+    print(f"axes big eval: {n} clouds -> {tree}")
 
 
 # ------------------------------------------------------------------ prep-ref
@@ -143,6 +243,37 @@ def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
     with open(os.path.join(scratch, "ref_train_axes.py"), "w") as f:
         f.write(src)
 
+    # single-peak vM leg (`train_single_peak_vonMises_KL.py:14-18`): same
+    # 6-class tree as 8dir; the script already torch.saves vonMises_best.pth
+    with open(os.path.join(REF, "train_single_peak_vonMises_KL.py")) as f:
+        src = f.read()
+    src = _patch(src, [
+        (r'^ROOT = Path\(".*?"\)',
+         f'ROOT = Path("{DATA_ROOT}/train_tree_6class")'),
+        (r'^RES  = Path\(".*?"\)', f'RES  = Path("{res}/vm_kl")'),
+        (r'^NUM_POINTS, BATCH, EPOCHS, LR = .*$',
+         f'NUM_POINTS, BATCH, EPOCHS, LR = {num_points}, 16, '
+         f'{epochs_8dir}, 1e-3'),
+    ])
+    with open(os.path.join(scratch, "ref_train_vm.py"), "w") as f:
+        f.write(src)
+
+    # MvM leg (`train_multi_peaks_vonMises_KL.py:18-28`): GT txts live next
+    # to the PLYs in our materialized view, so ROOT == PLY_ROOT; epochs stay
+    # the protocol's 100; the script already torch.saves mvM_best.pth
+    with open(os.path.join(REF, "train_multi_peaks_vonMises_KL.py")) as f:
+        src = f.read()
+    src = _patch(src, [
+        (r'^ROOT = Path\(".*?"\)',
+         f'ROOT = Path("{DATA_ROOT}/mvm_view_train")'),
+        (r'^PLY_ROOT = Path\(".*?"\)',
+         f'PLY_ROOT = Path("{DATA_ROOT}/mvm_view_train")'),
+        (r'^RES = Path\(".*?"\)', f'RES = Path("{res}/mvm")'),
+        (r'^NUM_POINTS = .*$', f'NUM_POINTS = {num_points}'),
+    ])
+    with open(os.path.join(scratch, "ref_train_mvm.py"), "w") as f:
+        f.write(src)
+
     # per-label view for the axes run
     view = os.path.join(DATA_ROOT, "axes_view")
     os.makedirs(view, exist_ok=True)
@@ -158,13 +289,17 @@ def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
 # ---------------------------------------------------------------- eval-torch
 
 def _load_tree(tree: str, classes, num_points: int, seed: int = 0):
+    """Shared eval loader: one sampling stream, every GT sidecar family.
+    Returns a dict with ``pts/axes/probs/vm/mvm_params/mvm_k/labels``."""
     sys.path.insert(0, REPO)
     from pointcloud_orientation_tpu.data.ply import read_ply
     from pointcloud_orientation_tpu.data.sidecar import (
-        read_8dir_txt, read_axes_txt)
+        read_8dir_txt, read_axes_txt, read_multi_peak_vm_txt,
+        read_single_peak_vm_txt)
 
     rng = np.random.default_rng(seed)
-    pts, axes, probs, labels = [], [], [], []
+    out = {"pts": [], "axes": [], "probs": [], "vm": [], "mvm_params": [],
+           "mvm_k": [], "labels": []}
     for ci, cls in enumerate(classes):
         cdir = os.path.join(tree, cls)
         for fname in sorted(os.listdir(cdir)):
@@ -172,16 +307,32 @@ def _load_tree(tree: str, classes, num_points: int, seed: int = 0):
                 continue
             p = read_ply(os.path.join(cdir, fname))[:, :3]
             idx = rng.choice(p.shape[0], num_points, replace=p.shape[0] < num_points)
-            pts.append(p[idx].astype(np.float32))
+            out["pts"].append(p[idx].astype(np.float32))
             stem = os.path.join(cdir, fname)[: -len(".ply")]
-            axes.append(read_axes_txt(stem + ".txt"))
+            out["axes"].append(read_axes_txt(stem + ".txt"))
             try:
-                probs.append(read_8dir_txt(stem + "_8dir.txt"))
+                out["probs"].append(read_8dir_txt(stem + "_8dir.txt"))
             except OSError:
-                probs.append(np.full(8, 0.125, np.float32))
-            labels.append(ci)
-    return (np.stack(pts), np.stack(axes), np.stack(probs),
-            np.asarray(labels, np.int32))
+                out["probs"].append(np.full(8, 0.125, np.float32))
+            out["vm"].append(
+                read_single_peak_vm_txt(stem + "_single_peak_vM_gt.txt"))
+            try:
+                params, k = read_multi_peak_vm_txt(
+                    stem + "_multi_peak_vM_gt.txt", 4)
+            except OSError:
+                params, k = np.zeros((4, 3), np.float32), 0
+            out["mvm_params"].append(params)
+            out["mvm_k"].append(k)
+            out["labels"].append(ci)
+    return {
+        "pts": np.stack(out["pts"]),
+        "axes": np.stack(out["axes"]),
+        "probs": np.stack(out["probs"]),
+        "vm": np.asarray(out["vm"], np.float32),
+        "mvm_params": np.stack(out["mvm_params"]).astype(np.float32),
+        "mvm_k": np.asarray(out["mvm_k"], np.int32),
+        "labels": np.asarray(out["labels"], np.int32),
+    }
 
 
 def _mu(f):
@@ -217,6 +368,54 @@ def _metrics_8dir(logits, probs, fwd_gt):
     ang = np.degrees(np.abs(_wrap(_mu(pred_fwd) - _mu(fwd_gt))))
     is_uni = probs.max(-1) - probs.min(-1) < 1e-6
     return losses, np.where(is_uni, np.nan, ang)
+
+
+def _kl_vm_np(mu_p, kappa_p, mu_q, kappa_q):
+    """Clamped analytic vM KL through scaled Bessels — numerically equal to
+    BOTH stacks' in-range formulas (`train_multi_peaks_vonMises_KL.py:38-52`
+    with its kappa clamp; ours `ops/von_mises.py::kl_von_mises`)."""
+    from scipy.special import i0e, i1e
+
+    kp = np.clip(kappa_p, 1e-6, 500.0)
+    kq = np.clip(kappa_q, 1e-6, 500.0)
+    a_p = i1e(kp) / i0e(kp)
+    log_ratio = (np.log(i0e(kq)) + kq) - (np.log(i0e(kp)) + kp)
+    return log_ratio + a_p * (kp - kq * np.cos(_wrap(mu_p - mu_q)))
+
+
+def _metrics_vm(mu, kappa, vm_gt):
+    """Per-sample vM KL (`train_single_peak_vonMises_KL.py:82-90`) + the
+    |wrapped mu delta| in degrees (NaN for symmetric kappa=0 classes)."""
+    losses = _kl_vm_np(mu, kappa, vm_gt[:, 0], vm_gt[:, 1])
+    ang = np.degrees(np.abs(_wrap(mu - vm_gt[:, 0])))
+    return losses, np.where(vm_gt[:, 1] > 0, ang, np.nan)
+
+
+def _metrics_mvm(mu, kappa, w, gt_params, gt_k):
+    """Per-sample matched MvM loss (Hungarian over the K gt components,
+    weight-normalized — `train_multi_peaks_vonMises_KL.py:55-81`) + the
+    weight-averaged matched |mu delta| (degrees, NaN for K=0/uniform)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B = mu.shape[0]
+    losses = np.zeros(B)
+    angs = np.full(B, np.nan)
+    for b in range(B):
+        k = int(gt_k[b])
+        if k <= 0:
+            continue
+        cost = _kl_vm_np(
+            mu[b, :k, None], kappa[b, :k, None],
+            gt_params[b, None, :k, 0], gt_params[b, None, :k, 1])
+        cost = np.nan_to_num(cost, nan=1e6, posinf=1e6, neginf=1e6)
+        row, col = linear_sum_assignment(cost)
+        ws = w[b, row]
+        den = ws.sum() + 1e-8
+        losses[b] = float((ws * cost[row, col]).sum() / den)
+        if gt_params[b, :k, 1].max() > 0:
+            d = np.abs(_wrap(mu[b, row] - gt_params[b, col, 0]))
+            angs[b] = float(np.degrees((ws * d).sum() / den))
+    return losses, angs
 
 
 def _metrics_axes(vy, vz, axes):
@@ -256,7 +455,8 @@ def eval_torch(ckpt: str, tree: str, head: str, classes, num_points: int,
     sys.path.insert(0, REF)
     sys.path.insert(0, REPO)
     torch.manual_seed(0)
-    pts, axes, probs, labels = _load_tree(tree, classes, num_points)
+    data = _load_tree(tree, classes, num_points)
+    pts, axes = data["pts"], data["axes"]
 
     if head == "8dir":
         from models.pointnet_pp_8dir import PointNetPP8Dir
@@ -264,6 +464,12 @@ def eval_torch(ckpt: str, tree: str, head: str, classes, num_points: int,
     elif head == "axes":
         from models.Pointnet_pp_xyz_Schedmit import PointNetPPXYZ_Schedmit
         model = PointNetPPXYZ_Schedmit()
+    elif head == "vm":
+        from models.pointnet_pp_vonMises import PointNetPPVonMises
+        model = PointNetPPVonMises()
+    elif head == "mvm":
+        from models.pointnet_pp_mvM import PointNetPPMvM
+        model = PointNetPPMvM()
     else:
         raise ValueError(head)
     model.load_state_dict(torch.load(ckpt, map_location="cpu"))
@@ -275,15 +481,24 @@ def eval_torch(ckpt: str, tree: str, head: str, classes, num_points: int,
             x = torch.from_numpy(pts[s : s + batch])
             if head == "8dir":
                 logits = model(x).numpy()
-                l, a = _metrics_8dir(logits, probs[s : s + batch],
+                l, a = _metrics_8dir(logits, data["probs"][s : s + batch],
                                      axes[s : s + batch, 2])
-            else:
+            elif head == "axes":
                 vy, vz = model(x)
                 l, a = _metrics_axes(vy.numpy(), vz.numpy(), axes[s : s + batch])
+            elif head == "vm":
+                mu, kappa = model(x)
+                l, a = _metrics_vm(mu.numpy(), kappa.numpy(),
+                                   data["vm"][s : s + batch])
+            else:
+                mu, kappa, w = model(x)
+                l, a = _metrics_mvm(mu.numpy(), kappa.numpy(), w.numpy(),
+                                    data["mvm_params"][s : s + batch],
+                                    data["mvm_k"][s : s + batch])
             losses.extend(l.tolist())
             angs.extend(a.tolist())
-    return _summarize(losses, angs, labels, classes, head=head, ckpt=ckpt,
-                      tree=tree, stack="torch")
+    return _summarize(losses, angs, data["labels"], classes, head=head,
+                      ckpt=ckpt, tree=tree, stack="torch")
 
 
 # ------------------------------------------------------------------ ours
@@ -343,6 +558,16 @@ def _our_cfg(head: str, label: str | None = None):
             num_points=1024, rotation_mode="none",
             classes=tuple(CLASSES_8DIR),
         )
+    if head == "vm":
+        return preset("vm_kl").replace(
+            num_points=1024, rotation_mode="none",
+            classes=tuple(CLASSES_8DIR),
+        )
+    if head == "mvm":
+        return preset("mvm").replace(
+            num_points=1024, rotation_mode="none",
+            classes=tuple(MVM_CLASSES_X),
+        )
     return preset("axes_all_labels").replace(
         num_points=1024, rotation_mode="none", per_label=False,
         classes=(label,),
@@ -358,15 +583,26 @@ def eval_ours_torch_ckpt(ckpt: str, tree: str, head: str, classes,
 
     cfg = _our_cfg(head, label)
     params, stats = load_torch_checkpoint(ckpt, cfg.model)
-    pts, axes, probs, labels = _load_tree(tree, classes, num_points)
+    data = _load_tree(tree, classes, num_points)
+    losses, angs = _eval_ours_metrics(cfg, params, stats, data, head)
+    return _summarize(losses, angs, data["labels"], classes, head=head,
+                      ckpt=ckpt, tree=tree, stack="ours(import)")
+
+
+def _eval_ours_metrics(cfg, params, stats, data, head):
+    """Forward OUR model on the shared clouds and apply the shared metric."""
+    pts, axes = data["pts"], data["axes"]
+    out = _eval_ours_arrays(cfg, params, stats, pts, head)
     if head == "8dir":
-        logits = _eval_ours_arrays(cfg, params, stats, pts, head)
-        losses, angs = _metrics_8dir(logits, probs, axes[:, 2])
-    else:
-        vy, vz = _eval_ours_arrays(cfg, params, stats, pts, head)
-        losses, angs = _metrics_axes(vy, vz, axes)
-    return _summarize(losses, angs, labels, classes, head=head, ckpt=ckpt,
-                      tree=tree, stack="ours(import)")
+        return _metrics_8dir(out, data["probs"], axes[:, 2])
+    if head == "vm":
+        mu, kappa = out
+        return _metrics_vm(mu, kappa, data["vm"])
+    if head == "mvm":
+        mu, kappa, w = out
+        return _metrics_mvm(mu, kappa, w, data["mvm_params"], data["mvm_k"])
+    vy, vz = out
+    return _metrics_axes(vy, vz, axes)
 
 
 def train_ours(head: str, eval_tree: str, out_dir: str,
@@ -381,11 +617,18 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     results = {}
-    jobs = (
-        [("8dir", None, os.path.join(DATA_ROOT, "train_tree_6class"), CLASSES_8DIR)]
-        if head == "8dir"
-        else [("axes", lab, _single_label_view(lab), [lab]) for lab in AXES_LABELS]
-    )
+    if head == "8dir":
+        jobs = [("8dir", None,
+                 os.path.join(DATA_ROOT, "train_tree_6class"), CLASSES_8DIR)]
+    elif head == "vm":
+        jobs = [("vm", None,
+                 os.path.join(DATA_ROOT, "train_tree_6class"), CLASSES_8DIR)]
+    elif head == "mvm":
+        jobs = [("mvm", None,
+                 os.path.join(DATA_ROOT, "mvm_view_train"), MVM_CLASSES_X)]
+    else:
+        jobs = [("axes", lab, _single_label_view(lab), [lab])
+                for lab in AXES_LABELS]
     for h, label, tree, classes in jobs:
         cfg = _our_cfg(h, label)
         ds = OrientationDataset.from_ply_tree(tree, cfg.num_points,
@@ -394,18 +637,14 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
         tr.fit(log_every=50)
         tr.load_best()
         params = tr.state.params
-        pts, axes, probs, labels = _load_tree(eval_tree, classes, num_points)
-        if h == "8dir":
-            logits = _eval_ours_arrays(cfg, params, tr.state.batch_stats, pts, h)
-            losses, angs = _metrics_8dir(logits, probs, axes[:, 2])
-        else:
-            vy, vz = _eval_ours_arrays(cfg, params, tr.state.batch_stats, pts, h)
-            losses, angs = _metrics_axes(vy, vz, axes)
-        name = label or "8dir"
+        data = _load_tree(eval_tree, classes, num_points)
+        losses, angs = _eval_ours_metrics(
+            cfg, params, tr.state.batch_stats, data, h)
+        name = label or h
         pth = os.path.join(out_dir, f"ours_{name}.pth")
         save_torch_checkpoint(pth, params, tr.state.batch_stats, cfg.model)
         results[name] = _summarize(
-            losses, angs, labels, classes, head=h, ckpt=pth,
+            losses, angs, data["labels"], classes, head=h, ckpt=pth,
             tree=eval_tree, stack="ours", best_val=float(tr.best_val),
         )
         print(json.dumps(results[name], indent=2))
@@ -428,6 +667,12 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     m = sub.add_parser("materialize")
     m.add_argument("--root", default=DATA_ROOT)
+    md = sub.add_parser("materialize-dist")
+    md.add_argument("--root", default=DATA_ROOT)
+    md.add_argument("--eval-per-class", type=int, default=128)
+    mb = sub.add_parser("materialize-axes-big")
+    mb.add_argument("--root", default=DATA_ROOT)
+    mb.add_argument("--per-class", type=int, default=256)
     p = sub.add_parser("prep-ref")
     p.add_argument("--scratch", default="/tmp/refrun")
     p.add_argument("--epochs-8dir", type=int, default=200)
@@ -436,19 +681,23 @@ def main(argv=None):
     e = sub.add_parser("eval-torch")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--tree", required=True)
-    e.add_argument("--head", choices=["8dir", "axes"], required=True)
+    e.add_argument("--head", choices=["8dir", "axes", "vm", "mvm"],
+                   required=True)
     e.add_argument("--classes", default=None,
-                   help="comma-separated; default: 6-class (8dir) / the label")
+                   help="comma-separated; default: 6-class (8dir/vm), "
+                        "12-class (mvm), the label (axes)")
     e.add_argument("--num-points", type=int, default=1024)
     t = sub.add_parser("train-ours")
-    t.add_argument("--head", choices=["8dir", "axes"], required=True)
+    t.add_argument("--head", choices=["8dir", "axes", "vm", "mvm"],
+                   required=True)
     t.add_argument("--eval-tree", default=os.path.join(DATA_ROOT, "eval_tree"))
     t.add_argument("--out", default=os.path.join(REPO, "results", "cross_stack"))
     o = sub.add_parser("eval-ours")
     o.add_argument("--torch-ckpt", required=True,
                    help="reference .pth to import into OUR stack")
     o.add_argument("--tree", required=True)
-    o.add_argument("--head", choices=["8dir", "axes"], required=True)
+    o.add_argument("--head", choices=["8dir", "axes", "vm", "mvm"],
+                   required=True)
     o.add_argument("--label", default=None, help="axes label (axes head)")
     o.add_argument("--classes", default=None)
     o.add_argument("--num-points", type=int, default=1024)
@@ -456,6 +705,10 @@ def main(argv=None):
 
     if args.cmd == "materialize":
         materialize(args.root)
+    elif args.cmd == "materialize-dist":
+        materialize_dist(args.root, eval_per_class=args.eval_per_class)
+    elif args.cmd == "materialize-axes-big":
+        materialize_axes_big(args.root, per_class=args.per_class)
     elif args.cmd == "prep-ref":
         prep_ref(args.scratch, args.epochs_8dir, args.epochs_axes,
                  args.num_points)
@@ -463,7 +716,8 @@ def main(argv=None):
         train_ours(args.head, args.eval_tree, args.out)
     elif args.cmd == "eval-ours":
         classes = (args.classes.split(",") if args.classes
-                   else CLASSES_8DIR if args.head == "8dir"
+                   else CLASSES_8DIR if args.head in ("8dir", "vm")
+                   else MVM_CLASSES_X if args.head == "mvm"
                    else [args.label or AXES_LABELS[0]])
         result = eval_ours_torch_ckpt(args.torch_ckpt, args.tree, args.head,
                                       classes, args.num_points,
@@ -471,7 +725,9 @@ def main(argv=None):
         print(json.dumps(result, indent=2))
     else:
         classes = (args.classes.split(",") if args.classes
-                   else CLASSES_8DIR if args.head == "8dir" else AXES_LABELS)
+                   else CLASSES_8DIR if args.head in ("8dir", "vm")
+                   else MVM_CLASSES_X if args.head == "mvm"
+                   else AXES_LABELS)
         result = eval_torch(args.ckpt, args.tree, args.head, classes,
                             args.num_points)
         print(json.dumps(result, indent=2))

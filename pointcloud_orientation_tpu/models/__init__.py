@@ -42,9 +42,10 @@ MODEL_REGISTRY = {
     # sequence-parallel ring-attention variant (plain path when no mesh
     # axis is bound; see parallel/sp_transformer.py for the SPMD step)
     "ring_point_transformer": RingPointTransformer,
-    # NOTE: MoEPointTransformer is exported but NOT registered — it returns
-    # (out, aux) rather than the registry's single-output contract that the
-    # serving predictor and torch import/export rely on.
+    # conditional-capacity flagship variant: returns (out, aux_loss) — the
+    # trainer's "forward_mse_aux" task consumes the tuple; the serving
+    # predictor and torch import/export paths do not apply to it.
+    "moe_point_transformer": MoEPointTransformer,
 }
 
 __all__ = [

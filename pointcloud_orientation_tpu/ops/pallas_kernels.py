@@ -843,3 +843,61 @@ def _sa_mlp_max_vjp_bwd(bf16, interpret, res, g):
 
 
 sa_mlp_max_pallas.defvjp(_sa_mlp_max_vjp_fwd, _sa_mlp_max_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# K-smallest selection over a precomputed candidate-distance tile: the
+# rescore stage of the exact grid-pruned kNN
+# (`ops/geometry.py::_grid_pruned_knn`). Same argmin-pass formulation (and
+# first-occurrence tie-break) as the fused SA kernel's `_select_passes` —
+# just decoupled from the distance compute, because the grid path's
+# candidate sets are per-centroid gathers XLA produces more cheaply.
+# ---------------------------------------------------------------------------
+
+
+def _topk_min_kernel(d_in_ref, idx_ref, dist_ref, *, K: int):
+    """One batch element per grid cell.
+
+    d_in_ref: (S, M) VMEM f32 candidate distances (+inf = invalid slot)
+    idx_ref:  (S, K) VMEM int32 positions of the K smallest, nearest-first
+    dist_ref: (S, M) VMEM f32 scratch (consumed by the eviction passes)
+    """
+    S, M = d_in_ref.shape
+    dist_ref[:, :] = d_in_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+    for k in range(K):
+        d = dist_ref[:, :]
+        col = jnp.argmin(d, axis=1).astype(jnp.int32)  # (S,) first-min
+        idx_ref[:, :] = jnp.where(out_cols == k, col[:, None], idx_ref[:, :])
+        if k + 1 < K:  # final eviction is dead — skip the store
+            dist_ref[:, :] = jnp.where(lane == col[:, None], jnp.inf, d)
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "interpret"))
+def topk_min_pallas(
+    d: jax.Array, nsample: int, interpret: bool | None = None
+) -> jax.Array:
+    """Positions of the ``nsample`` smallest entries of ``d (B, S, M)``
+    along the last axis, nearest-first (first-occurrence tie-break).
+    Returns ``(B, S, nsample)`` int32."""
+    B, S, M = d.shape
+    if interpret is None:
+        interpret = _use_interpret()
+    return pl.pallas_call(
+        functools.partial(_topk_min_kernel, K=nsample),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, S, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, S, nsample), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((S, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(d.astype(jnp.float32))

@@ -10,11 +10,16 @@ device owns ``n_experts / n_chips`` experts and computes only those; a
 Routing is top-1 softmax ("switch" routing) with the standard
 load-balancing auxiliary loss (mean router prob × assignment fraction per
 expert). Dispatch is the masked-einsum formulation — every device runs its
-local experts over the full token set and masks by the router's one-hot
-assignment — which is the XLA-friendly dense-dispatch form (static shapes,
-MXU-shaped einsums, no gather/scatter); an ``all_to_all`` token exchange is
-the bandwidth optimization for very large token counts, deliberately not
-needed at point-cloud scale (N ≤ 65k tokens/batch here, vs the LM regime).
+local experts over the FULL token set and masks by the router's one-hot
+assignment. Be precise about the cost: this is compute-redundant — each
+device spends ``n_experts / n_chips`` × the FLOPs of true routed dispatch,
+because masked-out tokens are computed then zeroed. A capacity-factor
+``all_to_all`` token exchange (send each token only to its expert's chip)
+is therefore both the compute fix and the bandwidth fix in the LM regime;
+at point-cloud token counts (N ≤ 65k/batch, tiny FFNs) the masked form is
+deliberately chosen anyway because it keeps static shapes and MXU-shaped
+einsums with no gather/scatter, and the redundant FLOPs are below the
+dispatch overhead they would replace.
 
 Like TP/PP, this is a capability the torch reference does not have in any
 form; it reproduces no reference lines. The dense path

@@ -61,6 +61,9 @@ class TrainConfig:
     # distribution heads
     kappa_default: float = 8.0
     max_k: int = 4
+    # MoE transformer (task "forward_mse_aux")
+    moe_experts: int = 4
+    moe_aux_weight: float = 0.01  # switch load-balance coefficient
     # framework improvements over the reference (0/"tanh" = exact parity)
     mvm_unmatched_penalty: float = 0.0  # guard vs the weight-collapse minimum
     mvm_weight_floor: float = 0.0  # w = (1-f)*softmax + f/K (anti-collapse)
@@ -181,6 +184,12 @@ PRESETS = {
     "point_transformer": _p(
         task="forward_mse", model="point_transformer", rotation_mode="so3",
         classes=("chair",), num_points=1024,
+    ),
+    # conditional-capacity variant (no reference counterpart): same data and
+    # objective as the dense flagship, MoE FFNs + switch aux loss.
+    "moe_point_transformer": _p(
+        task="forward_mse_aux", model="moe_point_transformer",
+        rotation_mode="so3", classes=("chair",), num_points=1024,
     ),
 }
 

@@ -99,17 +99,33 @@ def run_per_label_vmapped(
     labels: Optional[Sequence[str]] = None,
     log_every: int = 50,
     mesh=None,
-) -> Dict[str, dict]:
+    checkpoint_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    preemption_guard=None,
+) -> Optional[Dict[str, dict]]:
     """Train one model per label, all labels vmapped into one program.
 
     With ``mesh`` (any mesh whose FIRST axis divides the label count) the
     stacked label axis is sharded over that axis: each chip trains its
     slice of the labels, no communication (see :func:`shard_stacked_axis`).
 
+    Reliability (same contract as the sequential ``Trainer.fit``):
+    ``checkpoint_dir`` + ``cfg.checkpoint_every`` save the whole stacked
+    carry at aligned block boundaries; a fired ``preemption_guard`` saves
+    and returns ``None`` (incomplete); ``resume_from`` (a ``step_<E>``
+    path) restores and continues, reproducing the uninterrupted run
+    exactly — PRNG streams are keyed by absolute epoch numbers (pinned in
+    ``tests/test_ensemble.py``).
+
     Returns ``{label: {"best_val", "best_val_epoch", "test_loss",
     "test_angular", "history"}}`` and (if ``out_dir``) writes the
     protocol's ``summary.txt`` plus a per-label ``metrics.json``.
     """
+    from .protocol_ckpt import (
+        next_block_end,
+        restore_protocol_checkpoint,
+        save_protocol_checkpoint,
+    )
     labels = list(labels if labels is not None else dataset.class_names)
     L = len(labels)
     axis = None
@@ -173,8 +189,15 @@ def run_per_label_vmapped(
     block = max(1, int(os.environ.get("PCOT_EPOCH_BLOCK", "25")))
     t_start = time.time()
     epoch = 1
+    if resume_from:
+        carry_np, saved_hist, last_epoch = restore_protocol_checkpoint(
+            resume_from, carry, labels)
+        carry = shard_stacked_axis(
+            jax.tree_util.tree_map(jnp.asarray, carry_np), mesh, axis)
+        history = saved_hist
+        epoch = last_epoch + 1
     while epoch <= epochs:
-        e_hi = min(epoch + block - 1, epochs)
+        e_hi = next_block_end(epoch, block, epochs, cfg.checkpoint_every)
         nums = list(range(epoch, e_hi + 1))
         per_epoch = [label_batches(0, True, e) for e in nums]
         tr_idx = jnp.stack([im for im, _ in per_epoch], axis=1)  # (L,E,nb,B)
@@ -210,6 +233,17 @@ def run_per_label_vmapped(
                 flush=True,
             )
         epoch = e_hi + 1
+        fired = preemption_guard is not None and preemption_guard.requested
+        if checkpoint_dir and (fired or (
+                cfg.checkpoint_every and e_hi % cfg.checkpoint_every == 0
+                and e_hi < epochs)):
+            save_protocol_checkpoint(checkpoint_dir, e_hi, carry, history,
+                                     labels)
+        if fired:
+            print(f"[preempt] graceful stop after epoch {e_hi}"
+                  + (f"; checkpoint in {checkpoint_dir}"
+                     if checkpoint_dir else ""))
+            return None
 
     state, bv, bp, bs, be = carry
     bv, be = np.asarray(bv), np.asarray(be)

@@ -60,8 +60,17 @@ def run_multi_seed(
     out_dir: Optional[str] = None,
     log_every: int = 50,
     mesh=None,
-) -> Dict[int, dict]:
+    checkpoint_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    preemption_guard=None,
+) -> Optional[Dict[int, dict]]:
     """Train ``cfg`` once per seed, all seeds vmapped into one program.
+
+    Reliability mirrors the per-label protocol (`train/ensemble.py`):
+    ``checkpoint_dir`` + ``cfg.checkpoint_every`` save the stacked carry at
+    aligned block boundaries, a fired ``preemption_guard`` saves and
+    returns ``None``, and ``resume_from`` continues bit-exactly (absolute-
+    epoch PRNG streams; pinned in ``tests/test_multiseed.py``).
 
     Returns ``{seed: {"best_val", "best_val_epoch", "test_loss",
     "test_angular", "history"}}`` plus, when ``out_dir`` is given, a
@@ -69,6 +78,11 @@ def run_multi_seed(
     the across-seed mean/std/min/max of the end metrics — the artifact the
     sequential seed studies assembled by hand.
     """
+    from .protocol_ckpt import (
+        next_block_end,
+        restore_protocol_checkpoint,
+        save_protocol_checkpoint,
+    )
     seeds = [int(s) for s in seeds]
     if len(set(seeds)) != len(seeds):
         raise ValueError(f"duplicate seeds: {seeds}")
@@ -138,8 +152,15 @@ def run_multi_seed(
     block = max(1, int(os.environ.get("PCOT_EPOCH_BLOCK", "25")))
     t_start = time.time()
     epoch = 1
+    if resume_from:
+        carry_np, saved_hist, last_epoch = restore_protocol_checkpoint(
+            resume_from, carry, seeds)
+        carry = _shard_S(
+            jax.tree_util.tree_map(jnp.asarray, carry_np), mesh, axis)
+        history = saved_hist
+        epoch = last_epoch + 1
     while epoch <= epochs:
-        e_hi = min(epoch + block - 1, epochs)
+        e_hi = next_block_end(epoch, block, epochs, cfg.checkpoint_every)
         nums = list(range(epoch, e_hi + 1))
         per_epoch = [seed_batches("train_ds", True, e) for e in nums]
         tr_idx = jnp.stack([im for im, _ in per_epoch], axis=1)  # (S,E,nb,B)
@@ -174,6 +195,17 @@ def run_multi_seed(
                 flush=True,
             )
         epoch = e_hi + 1
+        fired = preemption_guard is not None and preemption_guard.requested
+        if checkpoint_dir and (fired or (
+                cfg.checkpoint_every and e_hi % cfg.checkpoint_every == 0
+                and e_hi < epochs)):
+            save_protocol_checkpoint(checkpoint_dir, e_hi, carry, history,
+                                     seeds)
+        if fired:
+            print(f"[preempt] graceful stop after epoch {e_hi}"
+                  + (f"; checkpoint in {checkpoint_dir}"
+                     if checkpoint_dir else ""))
+            return None
 
     state, bv, bp, bs, be = carry
     bv, be = np.asarray(bv), np.asarray(be)

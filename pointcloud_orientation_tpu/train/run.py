@@ -304,6 +304,12 @@ def main(argv=None):
              "per-seed metrics + seeds_summary.json; see train/multiseed.py)",
     )
     ap.add_argument(
+        "--resume-from", default=None, dest="resume_from",
+        help="vmapped protocols (--seeds / --vmap-labels): resume from a "
+             "protocol checkpoint step_<E> directory written by "
+             "--checkpoint-every (see train/protocol_ckpt.py)",
+    )
+    ap.add_argument(
         "--knn", default=None, choices=("exact", "approx"),
         help="neighbor-selection formulation: exact (default, reference "
              "semantics) or approx (TPU PartialReduce hardware top-k — "
@@ -352,12 +358,13 @@ def main(argv=None):
         from ..utils.profiling import capture_trace
 
         profile_ctx = capture_trace(args.profile_dir)
-    if args.seeds or (cfg.per_label and args.vmap_labels):
+    vmapped = bool(args.seeds or (cfg.per_label and args.vmap_labels))
+    if vmapped:
         unsupported = []
-        if cfg.checkpoint_every or cfg.async_checkpoint:
+        if cfg.async_checkpoint:
             unsupported.append(
-                "--checkpoint-every/--async-checkpoint (an interrupted "
-                "sweep restarts from scratch)")
+                "--async-checkpoint (vmapped protocol saves are "
+                "synchronous at block boundaries)")
         if cfg.host_resident:
             unsupported.append(
                 "--host-resident (the vmapped protocols build stacked "
@@ -370,16 +377,28 @@ def main(argv=None):
                 "--vmap-labels): " + "; ".join(unsupported),
                 stacklevel=1,
             )
+    vm_ckpt_dir = (os.path.join(out_dir, "ckpt")
+                   if cfg.checkpoint_every else None)
     with profile_ctx:
         if args.seeds:
             from .multiseed import run_multi_seed
+            from .reliability import PreemptionGuard
 
             seeds = [int(s) for s in args.seeds.split(",")]
-            run_multi_seed(cfg, dataset, seeds, out_dir, mesh=mesh)
+            with PreemptionGuard() as guard:
+                run_multi_seed(
+                    cfg, dataset, seeds, out_dir, mesh=mesh,
+                    checkpoint_dir=vm_ckpt_dir,
+                    resume_from=args.resume_from, preemption_guard=guard)
         elif cfg.per_label and args.vmap_labels:
             from .ensemble import run_per_label_vmapped
+            from .reliability import PreemptionGuard
 
-            run_per_label_vmapped(cfg, dataset, out_dir, mesh=mesh)
+            with PreemptionGuard() as guard:
+                run_per_label_vmapped(
+                    cfg, dataset, out_dir, mesh=mesh,
+                    checkpoint_dir=vm_ckpt_dir,
+                    resume_from=args.resume_from, preemption_guard=guard)
         elif cfg.per_label:
             run_per_label(cfg, dataset, out_dir, mesh)
         else:

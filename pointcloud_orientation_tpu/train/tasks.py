@@ -52,6 +52,21 @@ def _forward_mse_ang(outputs, batch, cfg):
     return _vec_angle_deg(outputs, batch["axes"][:, cfg.target_row])
 
 
+def _forward_mse_aux(outputs, batch, cfg):
+    """Forward MSE for models that return ``(out, aux_loss)`` — the MoE
+    transformer's switch load-balance aux (models/moe_transformer.py).
+    The scalar aux adds to every per-sample loss, so the masked batch mean
+    contributes exactly ``moe_aux_weight * aux`` to the step loss."""
+    out, aux = outputs
+    target = batch["axes"][:, cfg.target_row]
+    per = jnp.mean((out - target) ** 2, axis=-1)
+    return per + cfg.moe_aux_weight * aux
+
+
+def _forward_mse_aux_ang(outputs, batch, cfg):
+    return _vec_angle_deg(outputs[0], batch["axes"][:, cfg.target_row])
+
+
 def _axes(outputs, batch, cfg):
     vy, vz = outputs
     gy, gz = batch["axes"][:, 1], batch["axes"][:, 2]
@@ -152,6 +167,7 @@ def _cls(outputs, batch, cfg):
 
 TASKS: Dict[str, TaskAdapter] = {
     "forward_mse": TaskAdapter(_forward_mse, _forward_mse_ang),
+    "forward_mse_aux": TaskAdapter(_forward_mse_aux, _forward_mse_aux_ang),
     "axes": TaskAdapter(_axes, _axes_ang),
     "8dir_mse": TaskAdapter(_8dir_mse, _8dir_ang),
     "8dir_kl": TaskAdapter(_8dir_kl, _8dir_ang),

@@ -38,3 +38,81 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# Cost split (VERDICT r3 #7): the full-protocol / multi-minute tests carry a
+# `slow` marker so the inner-loop run is minutes, not ~45:
+#     python -m pytest tests/ -q -m "not slow"   # fast loop (~6 min)
+#     python -m pytest tests/ -q                 # full suite (CI / pre-commit)
+# Centralized here (names from `--durations` on the full suite) so the split
+# is one list, not decorators scattered over twenty files.
+_SLOW_TESTS = {
+    # >= ~15s on the 8-device virtual CPU mesh
+    "test_vmapped_unequal_subsets_padding_is_noop",
+    "test_vmapped_preempt_checkpoint_resume_bit_equal",
+    "test_multiseed_preempt_checkpoint_resume_bit_equal",
+    "test_dryrun_multichip_8",
+    "test_cli_mvm_artifacts",
+    "test_cli_single_run",
+    "test_vmapped_label_sharded_matches_unsharded",
+    "test_vmapped_no_cross_label_leakage",
+    "test_multiseed_no_cross_seed_leakage",
+    "test_8dir_kl_full_protocol",
+    "test_empty_step_freeze_is_exact_noop",
+    "test_bench_smoke",
+    "test_host_resident_streaming_matches_resident_path",
+    "test_multiseed_seed_sharded_matches_unsharded",
+    "test_per_label_runner_resume_skips_completed",
+    "test_mvm_task_trains",
+    "test_cli_mesh_flag",
+    "test_vmapped_protocol_multi_epoch_artifacts",
+    "test_ring_attention_gradients_match",
+    "test_per_label_runner",
+    "test_vmapped_L2_close_to_sequential",
+    "test_vmapped_L1_matches_sequential_exactly",
+    "test_shape_polymorphic_batch",
+    "test_bf16_training_runs",
+    "test_vmapped_angular_masks_undefined_samples",
+    "test_data_parallel_mesh",
+    "test_train_step_matches_single_device",
+    "test_scheduled_training_runs_and_is_finite",
+    "test_train_on_stored_gt",
+    "test_multiseed_S1_matches_sequential",
+    "test_dp_global_batch_invariance_across_mesh_sizes",
+    "test_fsdp_train_step_matches_single_device",
+    "test_fsdp_params_and_moments_actually_sharded",
+    "test_multiple_sp_steps_stay_finite",
+    "test_multiseed_artifacts",
+    "test_fsdp_x_tp_train_step_matches_single_device",
+    "test_fsdp_train_step_with_dropout_rng",
+    "test_fsdp_remat_matches_plain",
+    "test_preempted_fit_saves_checkpoint_and_resumes",
+    "test_debug_harness_deep_checks",
+    "test_multiseed_diverged_seed_guard",
+    "test_simple_pointnet_trains",
+    "test_bf16_outputs_close_to_f32",
+    "test_entry_compiles_and_runs",
+    "test_von_mises_atan2_parameterization",
+    "test_point_transformer_bf16_close_to_f32",
+    "test_resume_reproduces_uninterrupted_run",
+    "test_tp_second_step_and_finite",
+    "test_shared_mlp_fused_max_matches_unfused",
+    "test_kernel_shape_fuzz",
+    "test_sa_group_deferred_equals_interleaved",
+    "test_pp8dir_parity",
+    "test_tp_train_step_with_dropout_rng",
+    "test_tp_train_step_matches_single_device",
+    "test_dense_moe_routes_to_multiple_experts",
+    "test_checkpoint_roundtrip",
+    "test_accumulated_grads_equal_full_batch",
+    "test_quantize_selects_kernels_and_shrinks",
+    "test_dp_matches_single_device",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -162,3 +162,79 @@ def test_exact_default_unchanged_by_knob_roundtrip():
     set_knn_impl("exact")
     after = np.asarray(knn_query(new_xyz, xyz, 8))
     np.testing.assert_array_equal(before, after)
+
+
+# ---------------------------------------------------------------------------
+# Grid-pruned EXACT kNN ("grid" impl): pruning must never change results
+# ---------------------------------------------------------------------------
+
+
+def _knn_sets_equal(a: np.ndarray, b: np.ndarray):
+    """Index SETS must match per (batch, centroid) — within-K order can
+    legally differ between formulations only on exact distance ties, so
+    compare the selected sets and their sorted distances instead."""
+    B, S, K = a.shape
+    for bb in range(B):
+        for s in range(S):
+            assert set(a[bb, s].tolist()) == set(b[bb, s].tolist()), (bb, s)
+
+
+def test_grid_knn_equals_exact():
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    key = jax.random.PRNGKey(1)
+    # mix of cluster + uniform so cells are unevenly filled
+    xyz = jnp.concatenate(
+        [jax.random.normal(key, (2, 4096, 3)) * 0.2,
+         jax.random.uniform(jax.random.fold_in(key, 1), (2, 4096, 3),
+                            minval=-1, maxval=1)], axis=1)
+    new_xyz = xyz[:, ::16][:, :128]
+    exact = np.asarray(knn_query(new_xyz, xyz, 32))
+    set_knn_impl("grid", approx_min_n=1)
+    grid = np.asarray(knn_query(new_xyz, xyz, 32))
+    _knn_sets_equal(exact, grid)
+
+
+def test_grid_knn_fallback_when_budget_overflows(monkeypatch):
+    """Tiny M forces cube overflow -> the certificate fails -> the batch
+    falls back to the full exact path; results still exact."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    monkeypatch.setattr(G, "_KNN_GRID_M", 8)  # << K: guaranteed fallback
+    key = jax.random.PRNGKey(2)
+    xyz = jax.random.normal(key, (2, 2048, 3), jnp.float32)
+    new_xyz = xyz[:, :64]
+    exact = np.asarray(G._exact_full_knn(new_xyz, xyz, 16))
+    grid = np.asarray(G._grid_pruned_knn(new_xyz, xyz, 16))
+    _knn_sets_equal(exact, grid)
+
+
+def test_grid_knn_certificate_fallback_on_adversarial_cloud(monkeypatch):
+    """A cloud whose kNN radius exceeds the cell size (two far clusters,
+    sparse interior) must certify-or-fallback, never silently truncate."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    rng = np.random.default_rng(0)
+    # 16 points spread over a huge box + dense far clusters: K=12 of 16 near
+    # points forces neighbors beyond the r=1 cube for most centroids
+    a = rng.uniform(-100, 100, size=(1, 512, 3)).astype(np.float32)
+    xyz = jnp.asarray(a)
+    new_xyz = xyz[:, :32]
+    exact = np.asarray(G._exact_full_knn(new_xyz, xyz, 12))
+    grid = np.asarray(G._grid_pruned_knn(new_xyz, xyz, 12))
+    _knn_sets_equal(exact, grid)
+
+
+def test_grid_sample_and_group_matches_exact():
+    """Dispatch-level: sample_and_group under 'grid' returns the same
+    grouped geometry as the exact path (deterministic sampling)."""
+    key = jax.random.PRNGKey(3)
+    xyz = jax.random.normal(key, (2, 4096, 3), jnp.float32)
+    nx_e, ge = sample_and_group(xyz, None, 64, 16, sampling="first")
+    set_knn_impl("grid", approx_min_n=1)
+    nx_g, gg = sample_and_group(xyz, None, 64, 16, sampling="first")
+    np.testing.assert_allclose(np.asarray(nx_e), np.asarray(nx_g), atol=0)
+    # neighbor sets equal => sorted per-centroid neighbor coords equal
+    se = np.sort(np.asarray(ge).reshape(2, 64, 16, 3), axis=2)
+    sg = np.sort(np.asarray(gg).reshape(2, 64, 16, 3), axis=2)
+    np.testing.assert_allclose(se, sg, atol=0)

@@ -233,3 +233,36 @@ def test_empty_step_freeze_is_exact_noop():
                                                    np.asarray(y)),
         (a.params, a.opt_state, a.batch_stats),
         (b.params, b.opt_state, b.batch_stats))
+
+
+def test_vmapped_preempt_checkpoint_resume_bit_equal(tmp_path, monkeypatch):
+    """Preempt -> protocol checkpoint -> resume must reproduce the
+    uninterrupted vmapped run EXACTLY (identical block shapes => identical
+    programs; absolute-epoch PRNG streams => identical math)."""
+    from pointcloud_orientation_tpu.train import PreemptionGuard
+
+    monkeypatch.setenv("PCOT_EPOCH_BLOCK", "2")
+    cfg = _cfg(epochs=4, checkpoint_every=2)
+    ds = _ds()
+
+    straight = run_per_label_vmapped(cfg, ds, labels=list(LABELS),
+                                     log_every=0)
+
+    guard = PreemptionGuard()
+    guard.request()  # fires before the first block boundary
+    ck = str(tmp_path / "ck")
+    out = run_per_label_vmapped(
+        cfg, ds, labels=list(LABELS), log_every=0,
+        checkpoint_dir=ck, preemption_guard=guard)
+    assert out is None  # incomplete: stopped after epoch 2 and saved
+
+    resumed = run_per_label_vmapped(
+        cfg, ds, labels=list(LABELS), log_every=0,
+        resume_from=str(tmp_path / "ck" / "step_2"))
+    for label in LABELS:
+        s, r = straight[label], resumed[label]
+        assert r["history"] == s["history"]
+        assert r["best_val"] == s["best_val"]
+        assert r["best_val_epoch"] == s["best_val_epoch"]
+        assert r["test_loss"] == s["test_loss"]
+        assert r["test_angular"] == s["test_angular"]

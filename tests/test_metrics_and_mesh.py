@@ -86,13 +86,13 @@ def test_make_mesh_shapes():
 def test_presets_invariants():
     for name, cfg in PRESETS.items():
         assert cfg.task in (
-            "forward_mse", "axes", "8dir_mse", "8dir_kl", "multi_8dir",
-            "vm_kl", "mvm", "classification",
+            "forward_mse", "forward_mse_aux", "axes", "8dir_mse", "8dir_kl",
+            "multi_8dir", "vm_kl", "mvm", "classification",
         ), name
         assert cfg.batch_size == 16 and cfg.lr == 1e-3 and cfg.seed == 42
         if cfg.task == "mvm":
             assert cfg.epochs == 100 and cfg.grad_clip == 1.0
-        elif name != "point_transformer":
+        elif name not in ("point_transformer", "moe_point_transformer"):
             assert cfg.epochs == 200
     # overrides don't mutate the preset
     a = preset("8dir_kl", epochs=5)

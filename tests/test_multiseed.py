@@ -137,3 +137,34 @@ def test_multiseed_seed_sharded_matches_unsharded():
             shard[s]["test_loss"], base[s]["test_loss"], rtol=1e-2)
     with pytest.raises(ValueError, match="divide"):
         run_multi_seed(cfg, ds, seeds=[42, 43, 44], log_every=0, mesh=mesh)
+
+
+def test_multiseed_preempt_checkpoint_resume_bit_equal(tmp_path, monkeypatch):
+    """Preempt -> protocol checkpoint -> resume reproduces the
+    uninterrupted multi-seed run exactly (same block shapes and
+    absolute-epoch PRNG streams)."""
+    from pointcloud_orientation_tpu.train import PreemptionGuard
+    from pointcloud_orientation_tpu.train.multiseed import run_multi_seed
+
+    monkeypatch.setenv("PCOT_EPOCH_BLOCK", "2")
+    cfg = _cfg(epochs=4, checkpoint_every=2)
+    ds = _ds()
+    seeds = [42, 43]
+
+    straight = run_multi_seed(cfg, ds, seeds, log_every=0)
+
+    guard = PreemptionGuard()
+    guard.request()
+    ck = str(tmp_path / "ck")
+    out = run_multi_seed(cfg, ds, seeds, log_every=0,
+                         checkpoint_dir=ck, preemption_guard=guard)
+    assert out is None
+
+    resumed = run_multi_seed(cfg, ds, seeds, log_every=0,
+                             resume_from=str(tmp_path / "ck" / "step_2"))
+    for s in seeds:
+        assert resumed[s]["history"] == straight[s]["history"]
+        assert resumed[s]["best_val"] == straight[s]["best_val"]
+        assert resumed[s]["best_val_epoch"] == straight[s]["best_val_epoch"]
+        assert resumed[s]["test_loss"] == straight[s]["test_loss"]
+        assert resumed[s]["test_angular"] == straight[s]["test_angular"]
