@@ -549,7 +549,7 @@ class _ModelShim:
         self.module = Trainer._build_model(self, MODEL_REGISTRY[cfg.model])
 
 
-def _our_cfg(head: str, label: str | None = None):
+def _our_cfg(head: str, label: str | None = None, vm_preset: str = "vm_kl"):
     sys.path.insert(0, REPO)
     from pointcloud_orientation_tpu.train.config import preset
 
@@ -559,7 +559,7 @@ def _our_cfg(head: str, label: str | None = None):
             classes=tuple(CLASSES_8DIR),
         )
     if head == "vm":
-        return preset("vm_kl").replace(
+        return preset(vm_preset).replace(
             num_points=1024, rotation_mode="none",
             classes=tuple(CLASSES_8DIR),
         )
@@ -606,10 +606,21 @@ def _eval_ours_metrics(cfg, params, stats, data, head):
 
 
 def train_ours(head: str, eval_tree: str, out_dir: str,
-               num_points: int = 1024) -> dict:
+               num_points: int = 1024, pack_points: int = 0,
+               seed: int | None = None, suffix: str = "",
+               vm_preset: str = "vm_kl") -> dict:
     """Train OUR matching preset on the shared train tree, evaluate the
     best-val params on the shared eval tree with the shared metric, and
-    export a reference-loadable ``.pth`` for the reverse cross-load."""
+    export a reference-loadable ``.pth`` for the reverse cross-load.
+
+    ``pack_points``: point count the tree is packed at. 0 (legacy) packs at
+    ``num_points`` — every epoch sees the SAME fixed subset of each cloud.
+    Packing at the source size (2048 for these trees) makes the trainer's
+    on-device ``subsample_points`` draw a FRESH ``num_points`` subset per
+    access, which is the reference dataloaders' exact semantics
+    (`dataloader_single_peak_vonMises.py:12-14` ``sample_pts`` per
+    ``__getitem__``) — the r4 vm leg showed the fixed-subset variant can
+    fall into the tanh-head kappa-collapse basin the reference escapes."""
     sys.path.insert(0, REPO)
     from pointcloud_orientation_tpu.data import OrientationDataset
     from pointcloud_orientation_tpu.train import Trainer
@@ -630,9 +641,11 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
         jobs = [("axes", lab, _single_label_view(lab), [lab])
                 for lab in AXES_LABELS]
     for h, label, tree, classes in jobs:
-        cfg = _our_cfg(h, label)
-        ds = OrientationDataset.from_ply_tree(tree, cfg.num_points,
-                                              load_sidecars=True)
+        cfg = _our_cfg(h, label, vm_preset=vm_preset)
+        if seed is not None:
+            cfg = cfg.replace(seed=seed)
+        ds = OrientationDataset.from_ply_tree(
+            tree, pack_points or cfg.num_points, load_sidecars=True)
         tr = Trainer(cfg, ds)
         tr.fit(log_every=50)
         tr.load_best()
@@ -640,7 +653,7 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
         data = _load_tree(eval_tree, classes, num_points)
         losses, angs = _eval_ours_metrics(
             cfg, params, tr.state.batch_stats, data, h)
-        name = label or h
+        name = (label or h) + suffix
         pth = os.path.join(out_dir, f"ours_{name}.pth")
         save_torch_checkpoint(pth, params, tr.state.batch_stats, cfg.model)
         results[name] = _summarize(
@@ -648,7 +661,7 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
             tree=eval_tree, stack="ours", best_val=float(tr.best_val),
         )
         print(json.dumps(results[name], indent=2))
-    with open(os.path.join(out_dir, f"ours_{head}_eval.json"), "w") as f:
+    with open(os.path.join(out_dir, f"ours_{head}{suffix}_eval.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results
 
@@ -692,6 +705,15 @@ def main(argv=None):
                    required=True)
     t.add_argument("--eval-tree", default=os.path.join(DATA_ROOT, "eval_tree"))
     t.add_argument("--out", default=os.path.join(REPO, "results", "cross_stack"))
+    t.add_argument("--pack-points", type=int, default=0,
+                   help="pack the train tree at this point count (0 = "
+                        "num_points, fixed subset; 2048 = per-access "
+                        "resampling, reference dataloader parity)")
+    t.add_argument("--seed", type=int, default=None)
+    t.add_argument("--suffix", default="", help="artifact name suffix")
+    t.add_argument("--vm-preset", default="vm_kl",
+                   help="vm head preset (vm_kl = parity tanh head, "
+                        "vm_kl_atan2 = framework-improved wrap-free head)")
     o = sub.add_parser("eval-ours")
     o.add_argument("--torch-ckpt", required=True,
                    help="reference .pth to import into OUR stack")
@@ -713,7 +735,9 @@ def main(argv=None):
         prep_ref(args.scratch, args.epochs_8dir, args.epochs_axes,
                  args.num_points)
     elif args.cmd == "train-ours":
-        train_ours(args.head, args.eval_tree, args.out)
+        train_ours(args.head, args.eval_tree, args.out,
+                   pack_points=args.pack_points, seed=args.seed,
+                   suffix=args.suffix, vm_preset=args.vm_preset)
     elif args.cmd == "eval-ours":
         classes = (args.classes.split(",") if args.classes
                    else CLASSES_8DIR if args.head in ("8dir", "vm")

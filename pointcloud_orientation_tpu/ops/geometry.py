@@ -195,6 +195,23 @@ def _grid_pruned_knn(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Ar
     points — one batch-level ``lax.cond`` falls back to the full exact
     path, so the result is bit-identical to reference semantics in every
     case (pinned in ``tests/test_approx_knn.py``)."""
+    idx, ok = _grid_pruned_core(new_xyz, xyz, nsample)
+    return jax.lax.cond(
+        ok,
+        lambda _: idx,
+        lambda _: _exact_full_knn(new_xyz, xyz, nsample),
+        operand=None,
+    )
+
+
+def _grid_pruned_core(
+    new_xyz: jax.Array, xyz: jax.Array, nsample: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Grid-pruned candidate selection WITHOUT the exactness fallback:
+    returns ``(idx (B,S,K) int32, ok () bool)`` where ``ok`` is the
+    batch-level certificate (see :func:`_grid_pruned_knn`). Split out so
+    tests/benchmarks can probe the pruned path and the certificate
+    independently of the ``lax.cond`` dispatch."""
     B, N, _ = xyz.shape
     G, r = _KNN_GRID_G, _KNN_GRID_R
     M = max(min(_KNN_GRID_M, N), nsample)  # window must hold >= K slots
@@ -265,13 +282,7 @@ def _grid_pruned_knn(new_xyz: jax.Array, xyz: jax.Array, nsample: int) -> jax.Ar
     margin = jnp.minimum(m_lo, m_hi).min(-1)  # (B,S)
     ok = jnp.all(
         (d_k <= margin * margin) & (total <= M) & (total >= nsample))
-
-    return jax.lax.cond(
-        ok,
-        lambda _: idx,
-        lambda _: _exact_full_knn(new_xyz, xyz, nsample),
-        operand=None,
-    )
+    return idx, ok
 
 
 def _pallas_eligible(n: int) -> bool:
