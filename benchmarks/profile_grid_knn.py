@@ -12,7 +12,11 @@ fed LIVE into the carry at ~1e-9 scale so XLA cannot DCE a stage).
 
 from __future__ import annotations
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +24,13 @@ import numpy as np
 
 from pointcloud_orientation_tpu.ops import geometry as G
 
-B, S, N, K = 16, 512, 10_000, 32
-STEPS = 50
+import os
+
+B = int(os.environ.get("GRIDPROF_B", "16"))
+S = int(os.environ.get("GRIDPROF_S", "512"))
+N = int(os.environ.get("GRIDPROF_N", "10000"))
+K = int(os.environ.get("GRIDPROF_K", "32"))
+STEPS = int(os.environ.get("GRIDPROF_STEPS", "50"))
 
 
 def timed(fn, *args, rounds=3):
