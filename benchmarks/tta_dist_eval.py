@@ -39,16 +39,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_head(head: str, epochs: int | None, num_points: int, seed: int):
+def run_head(head: str, epochs: int | None, num_points: int, seed: int,
+             rotation: str | None = None):
     from cross_stack import _metrics_mvm, _metrics_vm
     from pointcloud_orientation_tpu.data import OrientationDataset
     from pointcloud_orientation_tpu.infer import OrientationPredictor
     from pointcloud_orientation_tpu.train import Trainer, preset
 
-    name = {"vm": "vm_kl", "mvm": "mvm"}[head]
+    name = {"vm": "vm_kl", "mvm": "mvm", "fwd": "pointnet_pp_forward"}[head]
     cfg = preset(name).replace(num_points=num_points, seed=seed)
     if epochs:
         cfg = cfg.replace(epochs=epochs)
+    if rotation:
+        cfg = cfg.replace(rotation_mode=rotation)
     ds = OrientationDataset.synthetic(
         samples_per_class=64, num_points=max(num_points, 512),
         class_names=list(cfg.classes))
@@ -64,7 +67,10 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int):
     batch = t.augment(eval_key, jnp.asarray(pts), jnp.asarray(uniform),
                       jnp.asarray(symm), jnp.asarray(k_spec))
     clouds = np.asarray(batch["points"])
-    if head == "vm":
+    if head == "fwd":
+        gt_fwd = np.asarray(batch["axes"][:, cfg.target_row])
+        uni = np.asarray(uniform) > 0
+    elif head == "vm":
         vm_gt = np.stack([np.asarray(batch["vm_mu"]),
                           np.asarray(batch["vm_kappa"])], -1)
     else:
@@ -76,18 +82,26 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int):
     kwargs = (dict(mu_parameterization=cfg.vm_mu_parameterization)
               if head == "vm" else
               dict(max_K=cfg.max_k, weight_floor=cfg.mvm_weight_floor,
-                   mu_init=cfg.mvm_mu_init))
+                   mu_init=cfg.mvm_mu_init) if head == "mvm" else {})
 
     rows = {}
     for V in (1, 2, 4, 8):
         pred = OrientationPredictor(
             cfg.model, t.state.params, t.state.batch_stats,
             num_points=num_points, max_batch=64, tta_views=V, **kwargs)
-        out = pred(clouds)
-        if head == "vm":
+        if head == "fwd":
+            fwd = pred.forward_vectors(clouds)
+            gn = gt_fwd / (np.linalg.norm(gt_fwd, axis=-1, keepdims=True)
+                           + 1e-12)
+            ang = np.degrees(np.arccos(np.clip((fwd * gn).sum(-1), -1, 1)))
+            losses = ((fwd - gt_fwd) ** 2).mean(-1)
+            angs = np.where(uni, np.nan, ang)  # uniform: angular undefined
+        elif head == "vm":
+            out = pred(clouds)
             mu, kappa = out
             losses, angs = _metrics_vm(mu, kappa, vm_gt)
         else:
+            out = pred(clouds)
             mu, kappa, w = out
             losses, angs = _metrics_mvm(mu, kappa, w, gt_params, gt_k)
         rows[V] = dict(loss=float(np.mean(losses)),
@@ -99,16 +113,20 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--head", choices=["vm", "mvm", "both"], default="both")
+    ap.add_argument("--head", choices=["vm", "mvm", "fwd", "both"],
+                    default="both")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override preset epochs (default: preset values)")
     ap.add_argument("--num-points", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--rotation", default=None,
+                    help="override preset rotation_mode (yaw/so3/none)")
     ap.add_argument("--out", default=None, help="write JSON summary here")
     a = ap.parse_args()
 
     heads = ["vm", "mvm"] if a.head == "both" else [a.head]
-    results = {h: run_head(h, a.epochs, a.num_points, a.seed) for h in heads}
+    results = {h: run_head(h, a.epochs, a.num_points, a.seed, a.rotation)
+               for h in heads}
     if a.out:
         with open(a.out, "w") as f:
             json.dump(results, f, indent=2)

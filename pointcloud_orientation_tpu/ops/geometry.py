@@ -101,8 +101,15 @@ def set_knn_impl(impl: str, recall_target: Optional[float] = None,
     (EXACT spatial pruning for the same large-N stages: 3D-bin the cloud,
     rescore only the cell cube around each centroid, certify exactness by
     the cube-boundary margin, and fall back to the full exact path when
-    any sample fails certification — reference semantics at approx-class
-    speed, see :func:`_grid_pruned_knn`)."""
+    any sample fails certification — see :func:`_grid_pruned_knn`).
+
+    ``"grid"`` is a MEASURED NEGATIVE RESULT kept for reference-semantics
+    experimentation (RESULTS.md k-selection item 5): at the canonical
+    N=10,000 it runs 38x slower than the brute-force tile, and even its
+    component-sum lower bound loses 3x — index build + window gather are
+    lane-serial VPU work that costs more than the whole MXU distance tile
+    they avoid. Use ``"approx"`` for large-N speed (1.85x, ~0.98 recall)
+    or the default ``"exact"`` otherwise."""
     global _KNN_IMPL, _KNN_RECALL, _KNN_APPROX_MIN_N
     # validate EVERYTHING before mutating: a failed call must not leave
     # half-applied global state (e.g. impl flipped but the old recall)
@@ -285,12 +292,30 @@ def _grid_pruned_core(
     return idx, ok
 
 
+# VMEM ceiling of the fused (S, N)-tile kernels, measured on v5e at S=512
+# (benchmarks/probe_pallas_bounds.py): knn_pallas compiles at N=20,480 and
+# FAILS at 24,576 (Mosaic register-spill past the 128 MB scoped budget —
+# the r4 grid-scaling log has the raw error). Beyond the bound the XLA
+# matmul+top_k path carries the op instead of crashing the compile.
+_PALLAS_KNN_MAX_N = 20_480
+
+
 def _pallas_eligible(n: int) -> bool:
     if _PALLAS_MODE == "never":
         return False
     if _PALLAS_MODE == "always":
         return True
-    return jax.default_backend() == "tpu" and n >= 1024
+    return (jax.default_backend() == "tpu"
+            and 1024 <= n <= _PALLAS_KNN_MAX_N)
+
+
+# Ceiling for the fused SA-grouping kernel (same (S, N) tile class as
+# knn_pallas): measured ok at N=8,192, production-proven at the canonical
+# N=10,000; the N=12,288 compile did not return in 15 min on the remote
+# helper (probe_pallas_bounds.py) — treated as beyond the ceiling. Larger
+# N falls to the unfused path (knn_query + index_points), whose own kernel
+# is bounded at `_PALLAS_KNN_MAX_N` and falls to XLA top_k beyond that.
+_FUSED_GROUP_MAX_N = 10_240
 
 
 def _fused_group_eligible(n: int) -> bool:
@@ -301,7 +326,8 @@ def _fused_group_eligible(n: int) -> bool:
         return False
     if _PALLAS_MODE == "always":
         return True
-    return jax.default_backend() == "tpu" and n >= 128
+    return (jax.default_backend() == "tpu"
+            and 128 <= n <= _FUSED_GROUP_MAX_N)
 
 
 def fused_mlp_eligible(train: bool = False) -> bool:
@@ -402,7 +428,12 @@ def farthest_point_sample(
     else:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
 
-    if _pallas_eligible(N):
+    # FPS holds only the (N, 3) cloud + an (N,) distance vector in VMEM
+    # (linear in N, ~1 MB at N=65k) — the (S, N)-tile ceiling
+    # `_PALLAS_KNN_MAX_N` does not apply, so gate on the floor alone.
+    if _PALLAS_MODE == "always" or (
+            _PALLAS_MODE != "never"
+            and jax.default_backend() == "tpu" and N >= 1024):
         from .pallas_kernels import fps_pallas
 
         return fps_pallas(xyz, npoint, seeds=farthest0)

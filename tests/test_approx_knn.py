@@ -238,3 +238,41 @@ def test_grid_sample_and_group_matches_exact():
     se = np.sort(np.asarray(ge).reshape(2, 64, 16, 3), axis=2)
     sg = np.sort(np.asarray(gg).reshape(2, 64, 16, 3), axis=2)
     np.testing.assert_allclose(se, sg, atol=0)
+
+
+def test_pallas_gate_bounded_by_vmem_ceiling(monkeypatch):
+    """The fused (S, N)-tile kernels have a MEASURED compile ceiling on v5e
+    (`benchmarks/probe_pallas_bounds.py`: knn_pallas ok at N=20,480, Mosaic
+    register-spill FAILURE at 24,576). The dispatch gate must route
+    larger-N shapes to the XLA matmul+top_k path instead of crashing the
+    compile — and FPS, whose VMEM is linear in N, must NOT inherit the
+    tile ceiling."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    monkeypatch.setattr(G.jax, "default_backend", lambda: "tpu")
+    assert not G._pallas_eligible(512)  # floor unchanged
+    assert G._pallas_eligible(1024)
+    assert G._pallas_eligible(G._PALLAS_KNN_MAX_N)
+    assert not G._pallas_eligible(G._PALLAS_KNN_MAX_N + 1)
+    assert not G._pallas_eligible(32_768)
+    # 'always' (interpret-mode tests) bypasses the bound deliberately
+    monkeypatch.setattr(G, "_PALLAS_MODE", "always")
+    assert G._pallas_eligible(32_768)
+
+
+def test_knn_beyond_pallas_ceiling_stays_exact(monkeypatch):
+    """Above the ceiling the XLA fallback must produce exact kNN (same
+    distance multiset as brute force) — correctness of the reroute, shape
+    kept small by lowering the ceiling instead of allocating 24k points."""
+    from pointcloud_orientation_tpu.ops import geometry as G
+
+    monkeypatch.setattr(G, "_PALLAS_KNN_MAX_N", 512)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.normal(key, (2, 1024, 3))  # now "beyond the ceiling"
+    new_xyz = xyz[:, :64]
+    idx = knn_query(new_xyz, xyz, 8)
+    d = jnp.sum((new_xyz[:, :, None] - xyz[:, None]) ** 2, -1)
+    ref = jnp.sort(d, -1)[..., :8]
+    got = jnp.sort(
+        jnp.take_along_axis(d, idx, -1), -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
