@@ -204,32 +204,48 @@ def _patch(src: str, subs) -> str:
 
 
 def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
-             num_points: int = 1024) -> None:
+             num_points: int = 1024, seed: int = 42) -> None:
     """Write path/shape-patched copies of the reference scripts to
     ``scratch``. Only constants change (`train_8dir_KL.py:18-22`,
     `train.py:30-37`) plus one injected ``torch.save`` in train.py (which
-    otherwise never persists weights, `train.py:215-216`)."""
+    otherwise never persists weights, `train.py:215-216`).
+
+    ``seed`` != 42 patches the scripts' own ``SEED = 42`` constant
+    (`train_single_peak_vonMises_KL.py:19`, `train_multi_peaks_vonMises_KL.py:28`,
+    `train_8dir_KL.py:23`, `train.py:39`) and diverts results/scripts to
+    ``_s{seed}`` names, giving the REFERENCE stack a seed envelope to
+    compare against ours (the r4 vm/mvm legs had only ref-seed-42)."""
     os.makedirs(scratch, exist_ok=True)
+    sfx = "" if seed == 42 else f"_s{seed}"
     res = os.path.join(scratch, "ref_results")
+
+    def _seeded(src: str) -> str:
+        if seed == 42:
+            return src
+        new, n = re.subn(r"^SEED\s*= .*$", f"SEED         = {seed}",
+                         src, count=1, flags=re.M)
+        if n != 1:
+            raise RuntimeError("SEED patch failed")
+        return new
 
     with open(os.path.join(REF, "train_8dir_KL.py")) as f:
         src = f.read()
     src = _patch(src, [
         (r'^ROOT = Path\(".*?"\)',
          f'ROOT = Path("{DATA_ROOT}/train_tree_6class")'),
-        (r'^RES  = Path\(".*?"\)', f'RES  = Path("{res}/8dir_kl")'),
+        (r'^RES  = Path\(".*?"\)', f'RES  = Path("{res}/8dir_kl{sfx}")'),
         (r'^NUM_POINTS, BATCH, EPOCHS, LR = .*$',
          f'NUM_POINTS, BATCH, EPOCHS, LR = {num_points}, 16, {epochs_8dir}, 1e-3'),
     ])
-    with open(os.path.join(scratch, "ref_train_8dir_KL.py"), "w") as f:
-        f.write(src)
+    with open(os.path.join(scratch, f"ref_train_8dir_KL{sfx}.py"), "w") as f:
+        f.write(_seeded(src))
 
     with open(os.path.join(REF, "train.py")) as f:
         src = f.read()
     src = _patch(src, [
         (r'^DATA_ROOT    = ".*?"$', f'DATA_ROOT    = "{DATA_ROOT}/axes_view"'),
-        (r'^RESULTS_ROOT = ".*?"$', f'RESULTS_ROOT = "{res}/axes"'),
-        (r'^OUTPUT_ROOT  = ".*?"$', f'OUTPUT_ROOT  = "{res}/axes/output"'),
+        (r'^RESULTS_ROOT = ".*?"$', f'RESULTS_ROOT = "{res}/axes{sfx}"'),
+        (r'^OUTPUT_ROOT  = ".*?"$', f'OUTPUT_ROOT  = "{res}/axes{sfx}/output"'),
         (r'^NUM_POINTS   = .*$', f'NUM_POINTS   = {num_points}'),
         (r'^NUM_EPOCHS   = .*$', f'NUM_EPOCHS   = {epochs_axes}'),
         # the reference never torch.saves train.py weights; persist best_state
@@ -240,8 +256,8 @@ def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
          '        torch.save(best_state, os.path.join('
          'RESULTS_ROOT, f"{label_name}_best.pth"))'),
     ])
-    with open(os.path.join(scratch, "ref_train_axes.py"), "w") as f:
-        f.write(src)
+    with open(os.path.join(scratch, f"ref_train_axes{sfx}.py"), "w") as f:
+        f.write(_seeded(src))
 
     # single-peak vM leg (`train_single_peak_vonMises_KL.py:14-18`): same
     # 6-class tree as 8dir; the script already torch.saves vonMises_best.pth
@@ -250,13 +266,13 @@ def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
     src = _patch(src, [
         (r'^ROOT = Path\(".*?"\)',
          f'ROOT = Path("{DATA_ROOT}/train_tree_6class")'),
-        (r'^RES  = Path\(".*?"\)', f'RES  = Path("{res}/vm_kl")'),
+        (r'^RES  = Path\(".*?"\)', f'RES  = Path("{res}/vm_kl{sfx}")'),
         (r'^NUM_POINTS, BATCH, EPOCHS, LR = .*$',
          f'NUM_POINTS, BATCH, EPOCHS, LR = {num_points}, 16, '
          f'{epochs_8dir}, 1e-3'),
     ])
-    with open(os.path.join(scratch, "ref_train_vm.py"), "w") as f:
-        f.write(src)
+    with open(os.path.join(scratch, f"ref_train_vm{sfx}.py"), "w") as f:
+        f.write(_seeded(src))
 
     # MvM leg (`train_multi_peaks_vonMises_KL.py:18-28`): GT txts live next
     # to the PLYs in our materialized view, so ROOT == PLY_ROOT; epochs stay
@@ -268,11 +284,11 @@ def prep_ref(scratch: str, epochs_8dir: int = 200, epochs_axes: int = 200,
          f'ROOT = Path("{DATA_ROOT}/mvm_view_train")'),
         (r'^PLY_ROOT = Path\(".*?"\)',
          f'PLY_ROOT = Path("{DATA_ROOT}/mvm_view_train")'),
-        (r'^RES = Path\(".*?"\)', f'RES = Path("{res}/mvm")'),
+        (r'^RES = Path\(".*?"\)', f'RES = Path("{res}/mvm{sfx}")'),
         (r'^NUM_POINTS = .*$', f'NUM_POINTS = {num_points}'),
     ])
-    with open(os.path.join(scratch, "ref_train_mvm.py"), "w") as f:
-        f.write(src)
+    with open(os.path.join(scratch, f"ref_train_mvm{sfx}.py"), "w") as f:
+        f.write(_seeded(src))
 
     # per-label view for the axes run
     view = os.path.join(DATA_ROOT, "axes_view")
@@ -691,6 +707,10 @@ def main(argv=None):
     p.add_argument("--epochs-8dir", type=int, default=200)
     p.add_argument("--epochs-axes", type=int, default=200)
     p.add_argument("--num-points", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=42,
+                   help="patch the reference scripts' SEED constant; != 42 "
+                        "writes _s{seed}-suffixed scripts/results (reference "
+                        "seed-envelope legs)")
     e = sub.add_parser("eval-torch")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--tree", required=True)
@@ -733,7 +753,7 @@ def main(argv=None):
         materialize_axes_big(args.root, per_class=args.per_class)
     elif args.cmd == "prep-ref":
         prep_ref(args.scratch, args.epochs_8dir, args.epochs_axes,
-                 args.num_points)
+                 args.num_points, seed=args.seed)
     elif args.cmd == "train-ours":
         train_ours(args.head, args.eval_tree, args.out,
                    pack_points=args.pack_points, seed=args.seed,
