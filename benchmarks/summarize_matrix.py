@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Consolidate the cross-stack evaluation cells into ONE north-star matrix.
+
+Reads every ``results/cross_stack/*_eval.json`` / ``*_under_*.json`` cell
+produced by ``benchmarks/cross_stack.py`` (both stacks trained on identical
+shared data, evaluated with one shared metric per family — see RESULTS.md
+"North-star cross-stack delta") and emits:
+
+  * ``results/cross_stack/matrix.json`` — machine-checkable per-family
+    aggregates: per-stack seed envelopes (min/mean/max over every trained
+    seed), the delta of seed means, the envelope-overlap verdict, and the
+    cross-load (import/export) agreement.
+  * a markdown table on stdout — the table RESULTS.md embeds.
+
+Verdict rule (pre-registered, no judgment calls): a family is
+``conclusive`` for a stack when the two stacks' seed envelopes on the
+primary metric are DISJOINT; otherwise ``noise-bounded parity``. With a
+single seed on one side the envelope is a point — the rule still applies
+but the JSON marks ``n_seeds`` so thin envelopes are visible.
+
+Primary metric per family: mean angular error (deg) for the vector-target
+families (8dir, axes — the reference reports degrees,
+`/root/reference/train_8dir_KL.py:150-164`, `train.py:147-246`); shared
+eval loss (nats) for the distribution families (vm, mvm — angular error
+is ill-posed under multimodal/symmetric GT, `train_multi_peaks_vonMises_KL.py:194-316`).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.abspath(os.path.dirname(__file__)))
+CELL_DIR = os.path.join(REPO, "results", "cross_stack")
+
+FAMILIES = ("8dir", "vm", "mvm", "axes")
+PRIMARY = {"8dir": "mean_angular_error_deg", "axes": "mean_angular_error_deg",
+           "vm": "loss", "mvm": "loss"}
+UNIT = {"mean_angular_error_deg": "deg", "loss": "nats"}
+
+
+def _mean(xs):
+    return sum(xs) / len(xs)
+
+
+def _axes_aggregate(cells: dict) -> dict:
+    """Mean over the per-label cells of one axes checkpoint family."""
+    labels = sorted(cells)
+    return {
+        "loss": _mean([cells[l]["loss"] for l in labels]),
+        "mean_angular_error_deg": _mean(
+            [cells[l]["mean_angular_error_deg"] for l in labels]),
+        "labels": labels,
+    }
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def collect(cell_dir: str = CELL_DIR) -> dict:
+    """Gather per-(family, stack) seed points from the eval cells."""
+    points = {fam: {"ours": {}, "ref": {}} for fam in FAMILIES}
+
+    for path in sorted(glob.glob(os.path.join(cell_dir, "*_eval.json"))):
+        name = os.path.basename(path)[:-len("_eval.json")]
+        m = re.fullmatch(r"(ours|ref)_(8dir|vm|mvm|axes)(_s(\d+))?", name)
+        if not m:
+            continue  # variant cells (atan2/packonce/...) are opt-in, not matrix
+        stack, fam, _, seed = m.groups()
+        seed = int(seed) if seed else 42
+        data = _load(path)
+        if fam == "axes":
+            if stack == "ours":
+                # keys are label+suffix (e.g. "chair_s43"); strip the suffix
+                cells = {re.sub(r"_s\d+$", "", k): v for k, v in data.items()}
+            else:
+                cells = data
+            agg = _axes_aggregate(cells)
+        elif stack == "ours":
+            (_, agg), = data.items()  # single wrapped entry
+        else:
+            agg = data
+        points[fam][stack][seed] = {
+            "loss": agg["loss"],
+            "mean_angular_error_deg": agg["mean_angular_error_deg"],
+            "source": os.path.basename(path),
+        }
+    return points
+
+
+def _crossload(cell_dir: str, fam: str) -> dict:
+    """Cross-load agreement on the primary metric: |native - cross-stack|
+    for the seed-42 checkpoints (ref ckpt evaluated under ours; ours ckpt
+    evaluated under torch)."""
+    key = PRIMARY[fam]
+    out = {}
+    for ckpt, native_f, cross_f in (
+        ("ref", f"ref_{fam}_eval.json", f"ref_{fam}_under_ours.json"),
+        ("ours", f"ours_{fam}_eval.json", f"ours_{fam}_under_torch.json"),
+    ):
+        np_, cp = (os.path.join(cell_dir, native_f),
+                   os.path.join(cell_dir, cross_f))
+        if not (os.path.exists(np_) and os.path.exists(cp)):
+            continue
+        native, cross = _load(np_), _load(cp)
+        if fam == "axes":
+            # every axes file (native and cross-load) is keyed by label
+            nat, crs = _axes_aggregate(native), _axes_aggregate(cross)
+        else:
+            nat = list(native.values())[0] if ckpt == "ours" else native
+            crs = cross
+        out[ckpt] = {
+            "native": nat[key], "cross": crs[key],
+            "abs_disagreement": abs(nat[key] - crs[key]),
+        }
+    return out
+
+
+def summarize(cell_dir: str = CELL_DIR) -> dict:
+    points = collect(cell_dir)
+    matrix = {}
+    for fam in FAMILIES:
+        key = PRIMARY[fam]
+        row = {"primary_metric": key, "unit": UNIT[key]}
+        envs = {}
+        for stack in ("ours", "ref"):
+            vals = {s: p[key] for s, p in sorted(points[fam][stack].items())}
+            if not vals:
+                continue
+            envs[stack] = {
+                "seeds": vals, "n_seeds": len(vals),
+                "min": min(vals.values()), "max": max(vals.values()),
+                "mean": _mean(list(vals.values())),
+            }
+        row["stacks"] = envs
+        if "ours" in envs and "ref" in envs:
+            o, r = envs["ours"], envs["ref"]
+            row["delta_of_means"] = o["mean"] - r["mean"]
+            disjoint = o["max"] < r["min"] or r["max"] < o["min"]
+            better = "ours" if o["mean"] < r["mean"] else "ref"
+            row["verdict"] = (
+                f"conclusive, {better} better" if disjoint
+                else "noise-bounded parity"
+                     + (f", {better} seed-mean better" if o["mean"] != r["mean"] else ""))
+        row["crossload_seed42"] = _crossload(cell_dir, fam)
+        matrix[fam] = row
+    return matrix
+
+
+def to_markdown(matrix: dict) -> str:
+    lines = [
+        "| family | metric | ours (min/mean/max, n) | ref (min/mean/max, n) "
+        "| delta of means | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for fam, row in matrix.items():
+        envs = row.get("stacks", {})
+        def fmt(stack):
+            e = envs.get(stack)
+            if not e:
+                return "—"
+            return (f"{e['min']:.3f} / {e['mean']:.3f} / {e['max']:.3f} "
+                    f"(n={e['n_seeds']})")
+        delta = row.get("delta_of_means")
+        lines.append(
+            f"| {fam} | {row['primary_metric']} ({row['unit']}) "
+            f"| {fmt('ours')} | {fmt('ref')} "
+            f"| {'' if delta is None else f'{delta:+.3f}'} "
+            f"| {row.get('verdict', '—')} |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    cell_dir = argv[1] if argv and len(argv) > 1 else CELL_DIR
+    matrix = summarize(cell_dir)
+    out = os.path.join(cell_dir, "matrix.json")
+    with open(out, "w") as f:
+        json.dump(matrix, f, indent=2)
+    print(to_markdown(matrix))
+    print(f"\nwrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main(sys.argv)
