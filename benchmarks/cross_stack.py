@@ -57,20 +57,8 @@ MVM_CLASSES_X = sorted(CLASSES_ALL + MVM_EXTRA)
 def materialize(root: str = DATA_ROOT, train_per_class: int = 64,
                 eval_per_class: int = 32, src_points: int = 2048) -> None:
     sys.path.insert(0, REPO)
-    from pointcloud_orientation_tpu.data.hdf5 import synthetic_modelnet
     from pointcloud_orientation_tpu.data.offline import (
         generate_8dir_gt, rotate_tree)
-    from pointcloud_orientation_tpu.data.ply import write_ply
-
-    def write_canonical(dst, seed, per_class):
-        pts, labels, names = synthetic_modelnet(
-            seed=seed, class_names=CLASSES_ALL, samples_per_class=per_class,
-            num_points=src_points)
-        for ci, name in enumerate(names):
-            cdir = os.path.join(dst, name)
-            os.makedirs(cdir, exist_ok=True)
-            for j, si in enumerate(np.flatnonzero(labels == ci)):
-                write_ply(pts[si], os.path.join(cdir, f"{name}_{j:04d}.ply"))
 
     for split, seed_src, seed_rot, per_class in (
         ("train", 42, 42, train_per_class),
@@ -81,7 +69,8 @@ def materialize(root: str = DATA_ROOT, train_per_class: int = 64,
         if os.path.isdir(tree):
             print(f"{tree} exists; skipping")
             continue
-        write_canonical(canon, seed_src, per_class)
+        _write_canonical(canon, seed_src, per_class, CLASSES_ALL,
+                         src_points=src_points)
         n = rotate_tree(canon, tree, mode="yaw", seed=seed_rot)
         m = generate_8dir_gt(tree)
         print(f"{split}: {n} clouds rotated, {m} 8dir sidecars -> {tree}")
@@ -407,10 +396,19 @@ def _metrics_vm(mu, kappa, vm_gt):
     return losses, np.where(vm_gt[:, 1] > 0, ang, np.nan)
 
 
-def _metrics_mvm(mu, kappa, w, gt_params, gt_k):
+def _metrics_mvm(mu, kappa, w, gt_params, gt_k, rect=False):
     """Per-sample matched MvM loss (Hungarian over the K gt components,
     weight-normalized — `train_multi_peaks_vonMises_KL.py:55-81`) + the
-    weight-averaged matched |mu delta| (degrees, NaN for K=0/uniform)."""
+    weight-averaged matched |mu delta| (degrees, NaN for K=0/uniform).
+
+    ``rect=False`` (default) is reference-faithful: the reference's
+    ``match_loss`` truncates predictions to the first ``k`` components, so
+    the cross-stack cells use the square ``k x k`` cost. ``rect=True``
+    lets ALL P predicted components compete for the ``k`` gt slots
+    (rectangular Hungarian) — required to score a TTA-averaged mixture,
+    where P = V*K and the first ``k`` components are exactly the view-0
+    (V=1) prediction, making the square metric a TTA no-op by
+    construction."""
     from scipy.optimize import linear_sum_assignment
 
     B = mu.shape[0]
@@ -420,8 +418,9 @@ def _metrics_mvm(mu, kappa, w, gt_params, gt_k):
         k = int(gt_k[b])
         if k <= 0:
             continue
+        p = mu.shape[1] if rect else k
         cost = _kl_vm_np(
-            mu[b, :k, None], kappa[b, :k, None],
+            mu[b, :p, None], kappa[b, :p, None],
             gt_params[b, None, :k, 0], gt_params[b, None, :k, 1])
         cost = np.nan_to_num(cost, nan=1e6, posinf=1e6, neginf=1e6)
         row, col = linear_sum_assignment(cost)

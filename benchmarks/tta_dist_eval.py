@@ -103,7 +103,12 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int,
         else:
             out = pred(clouds)
             mu, kappa, w = out
-            losses, angs = _metrics_mvm(mu, kappa, w, gt_params, gt_k)
+            # rect=True at EVERY V (incl. V=1): the square reference metric
+            # truncates to the first K components, which for the view-major
+            # TTA mixture is exactly the view-0 (V=1) prediction — scoring
+            # with it makes TTA a no-op by construction (r4 review finding).
+            losses, angs = _metrics_mvm(mu, kappa, w, gt_params, gt_k,
+                                        rect=True)
         rows[V] = dict(loss=float(np.mean(losses)),
                        ang=float(np.nanmean(angs)))
         print(f"[{head}] V={V}: loss {rows[V]['loss']:.4f}   "

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import MODEL_REGISTRY
+from .models import MODEL_REGISTRY, MULTI_OUTPUT_MODELS
 from .ops import DIRS_8
 
 
@@ -84,6 +84,12 @@ class OrientationPredictor:
 
         View noise cancels while the signal aligns, for V× inference
         FLOPs."""
+        if model_name in MULTI_OUTPUT_MODELS:
+            raise ValueError(
+                f"{model_name!r} returns (out, aux_loss) — a training-only "
+                "contract (task 'forward_mse_aux'); the serving predictor "
+                "requires a single-output head. Serve 'point_transformer' "
+                "(the dense variant) instead.")
         self.model = MODEL_REGISTRY[model_name](**model_kwargs)
         self.model_name = model_name
         self.num_points = num_points

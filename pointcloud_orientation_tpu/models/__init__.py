@@ -48,6 +48,12 @@ MODEL_REGISTRY = {
     "moe_point_transformer": MoEPointTransformer,
 }
 
+# Models whose __call__ returns a tuple with an auxiliary loss rather than
+# a single head output. Single-output consumers (the serving predictor,
+# the HTTP demo, torch import/export) must check this set and refuse —
+# their tree_map/asarray post-processing silently mangles (out, aux).
+MULTI_OUTPUT_MODELS = frozenset({"moe_point_transformer"})
+
 __all__ = [
     "MoEPointTransformer",
     "moe_ep_param_specs",
@@ -72,4 +78,5 @@ __all__ = [
     "PointTransformer",
     "RingPointTransformer",
     "MODEL_REGISTRY",
+    "MULTI_OUTPUT_MODELS",
 ]

@@ -79,9 +79,9 @@ def run_multi_seed(
     sequential seed studies assembled by hand.
     """
     from .protocol_ckpt import (
+        checkpoint_and_maybe_stop,
         next_block_end,
-        restore_protocol_checkpoint,
-        save_protocol_checkpoint,
+        resume_protocol,
     )
     seeds = [int(s) for s in seeds]
     if len(set(seeds)) != len(seeds):
@@ -153,12 +153,8 @@ def run_multi_seed(
     t_start = time.time()
     epoch = 1
     if resume_from:
-        carry_np, saved_hist, last_epoch = restore_protocol_checkpoint(
-            resume_from, carry, seeds)
-        carry = _shard_S(
-            jax.tree_util.tree_map(jnp.asarray, carry_np), mesh, axis)
-        history = saved_hist
-        epoch = last_epoch + 1
+        carry, history, epoch = resume_protocol(
+            resume_from, carry, seeds, lambda c: _shard_S(c, mesh, axis))
     while epoch <= epochs:
         e_hi = next_block_end(epoch, block, epochs, cfg.checkpoint_every)
         nums = list(range(epoch, e_hi + 1))
@@ -195,16 +191,9 @@ def run_multi_seed(
                 flush=True,
             )
         epoch = e_hi + 1
-        fired = preemption_guard is not None and preemption_guard.requested
-        if checkpoint_dir and (fired or (
-                cfg.checkpoint_every and e_hi % cfg.checkpoint_every == 0
-                and e_hi < epochs)):
-            save_protocol_checkpoint(checkpoint_dir, e_hi, carry, history,
-                                     seeds)
-        if fired:
-            print(f"[preempt] graceful stop after epoch {e_hi}"
-                  + (f"; checkpoint in {checkpoint_dir}"
-                     if checkpoint_dir else ""))
+        if checkpoint_and_maybe_stop(
+                e_hi, epochs, carry, history, seeds, checkpoint_dir,
+                cfg.checkpoint_every, preemption_guard):
             return None
 
     state, bv, bp, bs, be = carry

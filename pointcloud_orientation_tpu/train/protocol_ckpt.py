@@ -107,6 +107,45 @@ def restore_protocol_checkpoint(
     return carry, history, int(payload["epoch"])
 
 
+def resume_protocol(resume_from: str, carry_template, keys: Sequence,
+                    place) -> Tuple[tuple, Dict, int]:
+    """Shared resume entry for the vmapped protocols: restore the stacked
+    carry + history, re-place the carry on the caller's mesh via ``place``
+    (the protocol's shard function), and return the epoch to CONTINUE
+    from (``saved + 1``)."""
+    import jax.numpy as jnp
+
+    carry_np, history, last_epoch = restore_protocol_checkpoint(
+        resume_from, carry_template, keys)
+    carry = place(jax.tree_util.tree_map(jnp.asarray, carry_np))
+    return carry, history, last_epoch + 1
+
+
+def checkpoint_and_maybe_stop(
+    e_hi: int, epochs: int, carry, history: Dict, keys: Sequence,
+    checkpoint_dir, checkpoint_every: int, preemption_guard,
+) -> bool:
+    """Block-boundary bookkeeping shared by ensemble/multiseed: periodic or
+    preemption-triggered save, then the stop decision.
+
+    Returns True only when the run must stop EARLY — a preemption that
+    fires on the FINAL block is a completed run (every epoch trained), so
+    the protocol continues to its test phase and artifact writes instead
+    of discarding finished work; the save above still provides the
+    preemption contract's durable state."""
+    fired = preemption_guard is not None and preemption_guard.requested
+    if checkpoint_dir and (fired or (
+            checkpoint_every and e_hi % checkpoint_every == 0
+            and e_hi < epochs)):
+        save_protocol_checkpoint(checkpoint_dir, e_hi, carry, history, keys)
+    if fired and e_hi < epochs:
+        print(f"[preempt] graceful stop after epoch {e_hi}"
+              + (f"; checkpoint in {checkpoint_dir}"
+                 if checkpoint_dir else ""))
+        return True
+    return False
+
+
 def next_block_end(epoch: int, block: int, epochs: int,
                    checkpoint_every: int) -> int:
     """Last epoch of the next device block: block-size capped, never past

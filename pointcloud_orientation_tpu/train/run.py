@@ -377,6 +377,15 @@ def main(argv=None):
                 "--vmap-labels): " + "; ".join(unsupported),
                 stacklevel=1,
             )
+    if args.resume_from and not (args.seeds
+                                 or (cfg.per_label and args.vmap_labels)):
+        # fail fast: silently restarting from epoch 1 would overwrite the
+        # artifacts the user is trying to continue (sequential runs resume
+        # via the trainer's own Orbax checkpoints, not protocol ones)
+        raise SystemExit(
+            "--resume-from applies to the vmapped protocols only "
+            "(--seeds / --vmap-labels); sequential runs resume via "
+            "Trainer.load_checkpoint / --checkpoint-every artifacts")
     vm_ckpt_dir = (os.path.join(out_dir, "ckpt")
                    if cfg.checkpoint_every else None)
     with profile_ctx:

@@ -266,3 +266,30 @@ def test_vmapped_preempt_checkpoint_resume_bit_equal(tmp_path, monkeypatch):
         assert r["best_val_epoch"] == s["best_val_epoch"]
         assert r["test_loss"] == s["test_loss"]
         assert r["test_angular"] == s["test_angular"]
+
+
+def test_vmapped_preempt_on_final_block_completes(tmp_path, monkeypatch):
+    """A preemption that fires during the FINAL block is a completed run:
+    every epoch trained, so the protocol must finish its test phase and
+    return results (identical to the uninterrupted run) instead of
+    returning None and discarding finished work. A checkpoint is still
+    saved for the preemption contract."""
+    from pointcloud_orientation_tpu.train import PreemptionGuard
+
+    monkeypatch.setenv("PCOT_EPOCH_BLOCK", "2")
+    cfg = _cfg(epochs=2)
+    ds = _ds()
+
+    straight = run_per_label_vmapped(cfg, ds, labels=list(LABELS),
+                                     log_every=0)
+    guard = PreemptionGuard()
+    guard.request()  # "fires" during the only (= final) block
+    ck = str(tmp_path / "ck")
+    out = run_per_label_vmapped(
+        cfg, ds, labels=list(LABELS), log_every=0,
+        checkpoint_dir=ck, preemption_guard=guard)
+    assert out is not None
+    for label in LABELS:
+        assert out[label]["test_loss"] == straight[label]["test_loss"]
+        assert out[label]["history"] == straight[label]["history"]
+    assert (tmp_path / "ck" / "step_2").is_dir()  # durable state still saved

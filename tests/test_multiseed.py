@@ -168,3 +168,25 @@ def test_multiseed_preempt_checkpoint_resume_bit_equal(tmp_path, monkeypatch):
         assert resumed[s]["best_val_epoch"] == straight[s]["best_val_epoch"]
         assert resumed[s]["test_loss"] == straight[s]["test_loss"]
         assert resumed[s]["test_angular"] == straight[s]["test_angular"]
+
+
+def test_multiseed_preempt_on_final_block_completes(tmp_path, monkeypatch):
+    """Mirror of the ensemble test: preemption on the final block must not
+    discard a fully trained multi-seed run."""
+    from pointcloud_orientation_tpu.train import PreemptionGuard
+
+    monkeypatch.setenv("PCOT_EPOCH_BLOCK", "2")
+    cfg = _cfg(epochs=2)
+    ds = _ds()
+    seeds = [42, 43]
+
+    straight = run_multi_seed(cfg, ds, seeds, log_every=0)
+    guard = PreemptionGuard()
+    guard.request()
+    out = run_multi_seed(cfg, ds, seeds, log_every=0,
+                         checkpoint_dir=str(tmp_path / "ck"),
+                         preemption_guard=guard)
+    assert out is not None
+    for s in seeds:
+        assert out[s]["test_loss"] == straight[s]["test_loss"]
+    assert (tmp_path / "ck" / "step_2").is_dir()
