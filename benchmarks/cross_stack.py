@@ -681,6 +681,61 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
     return results
 
 
+def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
+                         num_points: int = 1024, pack_points: int = 0,
+                         vm_preset: str = "vm_kl") -> dict:
+    """Widen OUR seed envelope with the vmapped multi-seed protocol: every
+    seed trains in ONE XLA program (train/multiseed.py — 21-27x the
+    sequential wall-clock), then each seed's best-val weights are
+    evaluated on the shared eval tree with the shared metric, emitting a
+    per-seed cell ``ours_{head}_s{seed}_eval.json`` that
+    ``summarize_matrix.py`` absorbs automatically.
+
+    Single-model heads only (8dir/vm/mvm); the axes protocol is per-label
+    (``--vmap-labels``) and keeps its sequential seed legs. Cross-program
+    caveat (RESULTS.md "Vmapped multi-seed protocol"): vmapped vs
+    sequential runs differ by batched-kernel reduction-order float noise,
+    so cells from both paths share an envelope but are not bit-comparable."""
+    sys.path.insert(0, REPO)
+    from pointcloud_orientation_tpu.data import OrientationDataset
+    from pointcloud_orientation_tpu.train.multiseed import run_multi_seed
+
+    if head not in ("8dir", "vm", "mvm"):
+        raise ValueError(f"vmapped seed legs support 8dir/vm/mvm, not {head}")
+    tree, classes = (
+        (os.path.join(DATA_ROOT, "mvm_view_train"), MVM_CLASSES_X)
+        if head == "mvm"
+        else (os.path.join(DATA_ROOT, "train_tree_6class"), CLASSES_8DIR))
+    cfg = _our_cfg(head, None, vm_preset=vm_preset)
+    ds = OrientationDataset.from_ply_tree(
+        tree, pack_points or cfg.num_points, load_sidecars=True)
+    res = run_multi_seed(cfg, ds, list(seeds), log_every=50,
+                         return_params=True)
+    os.makedirs(out_dir, exist_ok=True)
+    pths = {}
+    for s in seeds:  # persist weights BEFORE eval (reverse cross-loads too)
+        from pointcloud_orientation_tpu.utils import save_torch_checkpoint
+        pths[s] = os.path.join(out_dir, f"ours_{head}_s{s}.pth")
+        save_torch_checkpoint(pths[s], res[s]["params"],
+                              res[s]["batch_stats"], cfg.model)
+    data = _load_tree(eval_tree, classes, num_points)
+    out = {}
+    for s in seeds:
+        losses, angs = _eval_ours_metrics(
+            cfg, res[s]["params"], res[s]["batch_stats"], data, head)
+        cell = _summarize(
+            losses, angs, data["labels"], classes, head=head, ckpt=pths[s],
+            tree=eval_tree, stack="ours", best_val=res[s]["best_val"],
+            protocol="vmapped_multiseed")
+        out[s] = cell
+        with open(os.path.join(out_dir, f"ours_{head}_s{s}_eval.json"),
+                  "w") as f:
+            json.dump({f"{head}_s{s}": cell}, f, indent=2)
+        print(f"[{head} s{s}] loss {cell['loss']:.4f} "
+              f"ang {cell['mean_angular_error_deg']:.2f}")
+    return out
+
+
 def _single_label_view(label: str) -> str:
     view = os.path.join(DATA_ROOT, f"axes_single_{label}")
     os.makedirs(view, exist_ok=True)
@@ -733,6 +788,15 @@ def main(argv=None):
     t.add_argument("--vm-preset", default="vm_kl",
                    help="vm head preset (vm_kl = parity tanh head, "
                         "vm_kl_atan2 = framework-improved wrap-free head)")
+    tm = sub.add_parser("train-ours-ms")
+    tm.add_argument("--head", choices=["8dir", "vm", "mvm"], required=True)
+    tm.add_argument("--seeds", required=True,
+                    help="comma-separated, e.g. 45,46,47,48 — trained as "
+                         "ONE vmapped program")
+    tm.add_argument("--eval-tree", default=os.path.join(DATA_ROOT, "eval_tree"))
+    tm.add_argument("--out", default=os.path.join(REPO, "results", "cross_stack"))
+    tm.add_argument("--pack-points", type=int, default=0)
+    tm.add_argument("--vm-preset", default="vm_kl")
     o = sub.add_parser("eval-ours")
     o.add_argument("--torch-ckpt", required=True,
                    help="reference .pth to import into OUR stack")
@@ -757,6 +821,11 @@ def main(argv=None):
         train_ours(args.head, args.eval_tree, args.out,
                    pack_points=args.pack_points, seed=args.seed,
                    suffix=args.suffix, vm_preset=args.vm_preset)
+    elif args.cmd == "train-ours-ms":
+        train_ours_multiseed(
+            args.head, args.eval_tree, args.out,
+            [int(s) for s in args.seeds.split(",")],
+            pack_points=args.pack_points, vm_preset=args.vm_preset)
     elif args.cmd == "eval-ours":
         classes = (args.classes.split(",") if args.classes
                    else CLASSES_8DIR if args.head in ("8dir", "vm")

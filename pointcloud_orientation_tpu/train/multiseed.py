@@ -63,8 +63,16 @@ def run_multi_seed(
     checkpoint_dir: Optional[str] = None,
     resume_from: Optional[str] = None,
     preemption_guard=None,
+    return_params: bool = False,
 ) -> Optional[Dict[int, dict]]:
     """Train ``cfg`` once per seed, all seeds vmapped into one program.
+
+    ``return_params=True`` additionally returns each seed's BEST-val
+    weights (``"params"``/``"batch_stats"`` numpy trees, unstacked) so the
+    protocol's winner can be served/exported/evaluated downstream without
+    re-training — without it the vmapped sweep reports metrics but the
+    winning model is unrecoverable unless ``checkpoint_dir`` happened to
+    save the final block.
 
     Reliability mirrors the per-label protocol (`train/ensemble.py`):
     ``checkpoint_dir`` + ``cfg.checkpoint_every`` save the stacked carry at
@@ -226,6 +234,9 @@ def run_multi_seed(
 
     results = {}
     wall = time.time() - t_start
+    if return_params:
+        bp_np = jax.tree_util.tree_map(np.asarray, bp)
+        bs_np = jax.tree_util.tree_map(np.asarray, bs)
     for si, s in enumerate(seeds):
         results[s] = {
             "best_val": float(bv[si]) if finite[si] else None,
@@ -234,6 +245,11 @@ def run_multi_seed(
             "test_angular": masked_angular_mean(tang[si], te_v[si]),
             "history": history[s],
         }
+        if return_params:
+            results[s]["params"] = jax.tree_util.tree_map(
+                lambda x: x[si], bp_np)
+            results[s]["batch_stats"] = jax.tree_util.tree_map(
+                lambda x: x[si], bs_np)
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -180,7 +180,16 @@ def test_multiseed_preempt_on_final_block_completes(tmp_path, monkeypatch):
     ds = _ds()
     seeds = [42, 43]
 
-    straight = run_multi_seed(cfg, ds, seeds, log_every=0)
+    straight = run_multi_seed(cfg, ds, seeds, log_every=0,
+                              return_params=True)
+    # return_params: each seed's BEST weights come back as numpy trees
+    for s in seeds:
+        leaf = jax.tree_util.tree_leaves(straight[s]["params"])[0]
+        assert isinstance(leaf, np.ndarray)
+    p42 = jax.tree_util.tree_leaves(straight[42]["params"])
+    p43 = jax.tree_util.tree_leaves(straight[43]["params"])
+    assert any(not np.array_equal(a, b) for a, b in zip(p42, p43))
+
     guard = PreemptionGuard()
     guard.request()
     out = run_multi_seed(cfg, ds, seeds, log_every=0,
