@@ -433,6 +433,44 @@ def _metrics_mvm(mu, kappa, w, gt_params, gt_k, rect=False):
     return losses, angs
 
 
+def _mvm_density_grid_np(mu, kappa, w, grid):
+    """Mixture-vM density on a grid, numpy, i0e-stable (mirrors
+    `ops/von_mises.py::mvm_density_on_grid`): each component is
+    exp(kappa*(cos(theta-mu)-1)) / (2*pi*i0e(kappa)); kappa=0 components
+    are exactly uniform."""
+    from scipy.special import i0e
+
+    d = grid[None, None, :] - mu[..., None]          # (B, K, G)
+    comp = np.exp(kappa[..., None] * (np.cos(d) - 1.0)) / (
+        2.0 * np.pi * i0e(kappa)[..., None])
+    return (w[..., None] * comp).sum(axis=1)         # (B, G)
+
+
+def _metrics_mvm_grid(mu, kappa, w, gt_params, gt_k, n_grid: int = 360):
+    """Assignment-free mixture metric: KL(gt || pred) numerically
+    integrated on a uniform angular grid. Unlike the matched metric, this
+    is well-defined for ANY component count (V*K TTA mixtures included)
+    and insensitive to which component 'wins' a slot — the density is all
+    that matters. Returns per-sample KL in nats (0 gt components =>
+    uniform gt density, still well-defined)."""
+    B, Kmax = gt_params.shape[0], gt_params.shape[1]
+    grid = np.linspace(0.0, 2.0 * np.pi, n_grid, endpoint=False)
+    # GT mixture: the sidecar's own weights (col 2), renormalized over the
+    # k valid slots; k=0 -> exactly uniform (single kappa=0 component)
+    k = np.asarray(gt_k, np.int64)
+    slot = np.arange(Kmax)[None, :] < np.maximum(k, 1)[:, None]
+    gt_w = np.where(slot, gt_params[:, :, 2], 0.0)
+    gt_w = np.where(k[:, None] > 0,
+                    gt_w / np.maximum(gt_w.sum(-1, keepdims=True), 1e-12),
+                    slot * 1.0)
+    gt_kappa = np.where(slot & (k[:, None] > 0), gt_params[:, :, 1], 0.0)
+    p = _mvm_density_grid_np(gt_params[:, :, 0], gt_kappa, gt_w, grid)
+    q = _mvm_density_grid_np(mu, kappa, w, grid)
+    dx = 2.0 * np.pi / n_grid
+    eps = 1e-12
+    return (p * (np.log(p + eps) - np.log(q + eps))).sum(-1) * dx
+
+
 def _metrics_axes(vy, vz, axes):
     """Per-sample axes loss (mean-MSE of the two heads + 0.1 orth penalty,
     `train.py:147-246`) + forward angular error."""

@@ -41,7 +41,7 @@ import numpy as np
 
 def run_head(head: str, epochs: int | None, num_points: int, seed: int,
              rotation: str | None = None):
-    from cross_stack import _metrics_mvm, _metrics_vm
+    from cross_stack import _metrics_mvm, _metrics_mvm_grid, _metrics_vm
     from pointcloud_orientation_tpu.data import OrientationDataset
     from pointcloud_orientation_tpu.infer import OrientationPredictor
     from pointcloud_orientation_tpu.train import Trainer, preset
@@ -109,10 +109,18 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int,
             # with it makes TTA a no-op by construction (r4 review finding).
             losses, angs = _metrics_mvm(mu, kappa, w, gt_params, gt_k,
                                         rect=True)
+            # assignment-free density metric: the matched metric is
+            # slot-competition-sensitive for V*K mixtures; grid KL scores
+            # the mixture as a DENSITY, which is what TTA averages
+            grid_kl = _metrics_mvm_grid(mu, kappa, w, gt_params, gt_k)
         rows[V] = dict(loss=float(np.mean(losses)),
                        ang=float(np.nanmean(angs)))
+        if head == "mvm":
+            rows[V]["grid_kl"] = float(np.mean(grid_kl))
         print(f"[{head}] V={V}: loss {rows[V]['loss']:.4f}   "
-              f"mean angular {rows[V]['ang']:6.2f} deg", flush=True)
+              f"mean angular {rows[V]['ang']:6.2f} deg"
+              + (f"   grid KL {rows[V]['grid_kl']:.4f}"
+                 if head == "mvm" else ""), flush=True)
     return rows
 
 

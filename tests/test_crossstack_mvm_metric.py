@@ -54,3 +54,35 @@ def test_k0_uniform_stays_nan_zero():
     mu, kappa, w, gt, _ = _case()
     losses, angs = _metrics_mvm(mu, kappa, w, gt, np.array([0]), rect=True)
     assert losses[0] == 0.0 and np.isnan(angs[0])
+
+
+def test_grid_kl_properties():
+    """The assignment-free density metric: zero for a perfect prediction,
+    invariant to TTA duplication (the density is unchanged), positive for
+    a misplaced peak, and well-defined at k=0 (uniform gt)."""
+    from cross_stack import _metrics_mvm_grid
+
+    gt = np.array([[[0.0, 8.0, 0.6], [np.pi, 4.0, 0.4], [0, 0, 0]]])
+    gk = np.array([2])
+    mu = np.array([[0.0, np.pi, 0.0]])
+    kp = np.array([[8.0, 4.0, 0.0]])
+    w = np.array([[0.6, 0.4, 0.0]])
+    perfect = _metrics_mvm_grid(mu, kp, w, gt, gk)
+    assert perfect[0] < 1e-6
+
+    # V=2 duplicate mixture: identical density => identical KL
+    mu2 = np.concatenate([mu, mu], 1)
+    kp2 = np.concatenate([kp, kp], 1)
+    w2 = np.concatenate([w, w], 1) / 2
+    dup = _metrics_mvm_grid(mu2, kp2, w2, gt, gk)
+    assert abs(dup[0] - perfect[0]) < 1e-9
+
+    # misplaced peak -> clearly positive
+    bad = _metrics_mvm_grid(mu + 1.0, kp, w, gt, gk)
+    assert bad[0] > 0.5
+
+    # k=0: uniform gt vs (kappa=0) uniform prediction -> ~0
+    uni = _metrics_mvm_grid(
+        np.zeros((1, 3)), np.zeros((1, 3)),
+        np.array([[1.0, 0.0, 0.0]]), np.zeros((1, 3, 3)), np.array([0]))
+    assert uni[0] < 1e-9
