@@ -146,6 +146,16 @@ def summarize(cell_dir: str = CELL_DIR) -> dict:
                 f"conclusive, {better} better" if disjoint
                 else "noise-bounded parity"
                      + (f", {better} seed-mean better" if o["mean"] != r["mean"] else ""))
+            if o["n_seeds"] >= 2 and r["n_seeds"] >= 2:
+                try:
+                    from scipy import stats
+
+                    t, p = stats.ttest_ind(
+                        list(o["seeds"].values()), list(r["seeds"].values()),
+                        equal_var=False)
+                    row["welch"] = {"t": float(t), "p_two_sided": float(p)}
+                except Exception:
+                    pass  # scipy absent: envelopes remain the verdict basis
         row["crossload_seed42"] = _crossload(cell_dir, fam)
         matrix[fam] = row
     return matrix

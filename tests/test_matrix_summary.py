@@ -54,6 +54,9 @@ def test_envelopes_verdicts_and_crossload(tmp_path):
     assert e8["ours"]["max"] < e8["ref"]["min"]
     assert m["8dir"]["verdict"] == "conclusive, ours better"
     assert abs(m["8dir"]["delta_of_means"] - (7.2 - 8.5)) < 1e-9
+    assert m["8dir"]["welch"]["t"] < 0          # n=2 vs n=2 -> test runs
+    assert "welch" not in m["vm"]               # ref has n=1: no t-test
+    assert "welch" not in m["axes"]
 
     assert m["vm"]["verdict"].startswith("noise-bounded parity")
     assert m["vm"]["stacks"]["ours"]["n_seeds"] == 2  # atan2 ignored
