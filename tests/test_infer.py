@@ -289,3 +289,20 @@ def test_tta_mvm_head_exact_mixture_average():
     tta_density = mixture_von_mises_pdf(grid[None, :], mu_t, kappa_t, w_t)
     np.testing.assert_allclose(
         np.asarray(tta_density), np.asarray(manual), atol=1e-5)
+
+
+def test_multi_output_models_rejected_at_construction():
+    """`MULTI_OUTPUT_MODELS` members return (out, aux_loss) — the
+    predictor's post-processing would silently mangle the tuple after a
+    potentially minutes-long remote compile, so construction must fail
+    fast with a clear redirect (r4 review finding)."""
+    import pytest
+
+    from pointcloud_orientation_tpu.infer import OrientationPredictor
+    from pointcloud_orientation_tpu.models import (
+        MODEL_REGISTRY, MULTI_OUTPUT_MODELS)
+
+    assert MULTI_OUTPUT_MODELS <= set(MODEL_REGISTRY)
+    for name in MULTI_OUTPUT_MODELS:
+        with pytest.raises(ValueError, match="aux_loss"):
+            OrientationPredictor(name, {})
