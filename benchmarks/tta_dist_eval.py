@@ -75,7 +75,8 @@ def run_head(head: str, epochs: int | None, num_points: int, seed: int,
                           np.asarray(batch["vm_kappa"])], -1)
     else:
         gt_params = np.stack([np.asarray(batch["mvm_mu"]),
-                              np.asarray(batch["mvm_kappa"])], -1)
+                              np.asarray(batch["mvm_kappa"]),
+                              np.asarray(batch["mvm_weight"])], -1)
         gt_k = np.asarray(batch["mvm_k"])
 
     # model kwargs must mirror Trainer._build_model so params load 1:1
