@@ -137,6 +137,17 @@ def summarize(cell_dir: str = CELL_DIR) -> dict:
                 "mean": _mean(list(vals.values())),
             }
         row["stacks"] = envs
+        # the other metric, envelopes only (no verdict — the primary is
+        # pre-registered; this is for completeness/inspection)
+        alt = "loss" if key == "mean_angular_error_deg" \
+            else "mean_angular_error_deg"
+        row["secondary"] = {"metric": alt, "unit": UNIT[alt], "stacks": {}}
+        for stack in ("ours", "ref"):
+            vals = [p[alt] for _, p in sorted(points[fam][stack].items())]
+            if vals:
+                row["secondary"]["stacks"][stack] = {
+                    "n_seeds": len(vals), "min": min(vals),
+                    "max": max(vals), "mean": _mean(vals)}
         if "ours" in envs and "ref" in envs:
             o, r = envs["ours"], envs["ref"]
             row["delta_of_means"] = o["mean"] - r["mean"]
