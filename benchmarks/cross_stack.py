@@ -721,7 +721,7 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
 
 def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
                          num_points: int = 1024, pack_points: int = 0,
-                         vm_preset: str = "vm_kl") -> dict:
+                         vm_preset: str = "vm_kl", suffix: str = "") -> dict:
     """Widen OUR seed envelope with the vmapped multi-seed protocol: every
     seed trains in ONE XLA program (train/multiseed.py — 21-27x the
     sequential wall-clock), then each seed's best-val weights are
@@ -753,7 +753,7 @@ def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
     pths = {}
     for s in seeds:  # persist weights BEFORE eval (reverse cross-loads too)
         from pointcloud_orientation_tpu.utils import save_torch_checkpoint
-        pths[s] = os.path.join(out_dir, f"ours_{head}_s{s}.pth")
+        pths[s] = os.path.join(out_dir, f"ours_{head}_s{s}{suffix}.pth")
         save_torch_checkpoint(pths[s], res[s]["params"],
                               res[s]["batch_stats"], cfg.model)
     data = _load_tree(eval_tree, classes, num_points)
@@ -766,8 +766,8 @@ def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
             tree=eval_tree, stack="ours", best_val=res[s]["best_val"],
             protocol="vmapped_multiseed")
         out[s] = cell
-        with open(os.path.join(out_dir, f"ours_{head}_s{s}_eval.json"),
-                  "w") as f:
+        with open(os.path.join(
+                out_dir, f"ours_{head}_s{s}{suffix}_eval.json"), "w") as f:
             json.dump({f"{head}_s{s}": cell}, f, indent=2)
         print(f"[{head} s{s}] loss {cell['loss']:.4f} "
               f"ang {cell['mean_angular_error_deg']:.2f}")
@@ -835,6 +835,9 @@ def main(argv=None):
     tm.add_argument("--out", default=os.path.join(REPO, "results", "cross_stack"))
     tm.add_argument("--pack-points", type=int, default=0)
     tm.add_argument("--vm-preset", default="vm_kl")
+    tm.add_argument("--suffix", default="",
+                    help="artifact filename suffix (probe runs: keeps "
+                         "non-matrix cells out of summarize_matrix)")
     o = sub.add_parser("eval-ours")
     o.add_argument("--torch-ckpt", required=True,
                    help="reference .pth to import into OUR stack")
@@ -863,7 +866,8 @@ def main(argv=None):
         train_ours_multiseed(
             args.head, args.eval_tree, args.out,
             [int(s) for s in args.seeds.split(",")],
-            pack_points=args.pack_points, vm_preset=args.vm_preset)
+            pack_points=args.pack_points, vm_preset=args.vm_preset,
+            suffix=args.suffix)
     elif args.cmd == "eval-ours":
         classes = (args.classes.split(",") if args.classes
                    else CLASSES_8DIR if args.head in ("8dir", "vm")
