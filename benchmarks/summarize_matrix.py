@@ -61,6 +61,35 @@ def _load(path):
         return json.load(f)
 
 
+def collect_improved(cell_dir: str = CELL_DIR) -> dict:
+    """Gather OURS-ONLY framework-improvement variant cells.
+
+    These are heads the reference never shipped (currently the wrap-free
+    ``vm_kl_atan2`` μ head, `losses/objectives.py` — it removes the tanh
+    head's 180° wrap bistability, cf. `/root/reference/models/
+    pointnet_pp_vonMises.py:30-38`), trained on the SAME shared tree and
+    scored with the SAME metric as the matched-parity vm cells. They are
+    kept out of the parity matrix (different head = not a parity
+    comparison) and reported as a separate envelope so the improvement is
+    a measured number, not a claim."""
+    points = {}
+    for path in sorted(glob.glob(os.path.join(cell_dir, "*_eval.json"))):
+        name = os.path.basename(path)[:-len("_eval.json")]
+        m = re.fullmatch(r"ours_vm(?:_s(\d+))?_atan2", name)
+        if not m:
+            continue
+        seed = int(m.group(1)) if m.group(1) else 42
+        (_, cell), = _load(path).items()
+        fam = points.setdefault("vm_atan2", {})
+        # prefer the vmapped seed cells over the legacy sequential seed-42
+        if seed not in fam or m.group(1):
+            fam[seed] = {"loss": cell["loss"],
+                         "mean_angular_error_deg":
+                             cell["mean_angular_error_deg"],
+                         "source": os.path.basename(path)}
+    return points
+
+
 def collect(cell_dir: str = CELL_DIR) -> dict:
     """Gather per-(family, stack) seed points from the eval cells."""
     points = {fam: {"ours": {}, "ref": {}} for fam in FAMILIES}
@@ -169,6 +198,25 @@ def summarize(cell_dir: str = CELL_DIR) -> dict:
                     pass  # scipy absent: envelopes remain the verdict basis
         row["crossload_seed42"] = _crossload(cell_dir, fam)
         matrix[fam] = row
+
+    for name, seeds in collect_improved(cell_dir).items():
+        # ours-only improved-head envelopes (no ref counterpart to compare)
+        entry = {"primary_metric": "loss", "unit": "nats",
+                 "note": "framework-improved head, ours only — same shared "
+                         "tree + metric as the matched vm row; the "
+                         "reference has no equivalent head",
+                 "stacks": {}}
+        for key in ("loss", "mean_angular_error_deg"):
+            vals = {s: p[key] for s, p in sorted(seeds.items())}
+            env = {"seeds": vals, "n_seeds": len(vals),
+                   "min": min(vals.values()), "max": max(vals.values()),
+                   "mean": _mean(list(vals.values()))}
+            if key == "loss":
+                entry["stacks"]["ours"] = env
+            else:
+                entry["secondary"] = {"metric": key, "unit": UNIT[key],
+                                      "stacks": {"ours": env}}
+        matrix[name] = entry
     return matrix
 
 
@@ -191,7 +239,7 @@ def to_markdown(matrix: dict) -> str:
             f"| {fam} | {row['primary_metric']} ({row['unit']}) "
             f"| {fmt('ours')} | {fmt('ref')} "
             f"| {'' if delta is None else f'{delta:+.3f}'} "
-            f"| {row.get('verdict', '—')} |")
+            f"| {row.get('verdict') or ('ours-only improved head' if 'note' in row else '—')} |")
     return "\n".join(lines)
 
 

@@ -76,3 +76,25 @@ def test_envelopes_verdicts_and_crossload(tmp_path):
     # markdown renders every family without error
     md = sm.to_markdown(m)
     assert "8dir" in md and "conclusive, ours better" in md
+
+
+def test_improved_head_envelope(tmp_path):
+    """The ours-only vm_atan2 variant cells form their own envelope row:
+    excluded from the parity vm row, vmapped seed cells take precedence
+    over the legacy sequential seed-42 cell."""
+    d = str(tmp_path)
+    _write(d, "ours_vm_eval.json", {"vm": _cell(2.0, 50.0)})
+    _write(d, "ref_vm_eval.json", _cell(2.2, 51.0))
+    _write(d, "ours_vm_atan2_eval.json", {"vm_atan2": _cell(9.9, 99.0)})
+    _write(d, "ours_vm_s42_atan2_eval.json", {"vm_s42": _cell(2.10, 19.0)})
+    _write(d, "ours_vm_s43_atan2_eval.json", {"vm_s43": _cell(2.14, 21.0)})
+
+    m = sm.summarize(d)
+    assert m["vm"]["stacks"]["ours"]["n_seeds"] == 1  # parity row untouched
+    imp = m["vm_atan2"]
+    env = imp["stacks"]["ours"]
+    assert env["n_seeds"] == 2
+    assert abs(env["seeds"][42] - 2.10) < 1e-9        # vmapped beats legacy
+    assert abs(imp["secondary"]["stacks"]["ours"]["mean"] - 20.0) < 1e-9
+    assert "verdict" not in imp
+    assert "ours-only improved head" in sm.to_markdown(m)
