@@ -40,13 +40,14 @@ import numpy as np
 
 
 def run_head(head: str, epochs: int | None, num_points: int, seed: int,
-             rotation: str | None = None):
+             rotation: str | None = None, vm_preset: str = "vm_kl"):
     from cross_stack import _metrics_mvm, _metrics_mvm_grid, _metrics_vm
     from pointcloud_orientation_tpu.data import OrientationDataset
     from pointcloud_orientation_tpu.infer import OrientationPredictor
     from pointcloud_orientation_tpu.train import Trainer, preset
 
-    name = {"vm": "vm_kl", "mvm": "mvm", "fwd": "pointnet_pp_forward"}[head]
+    name = {"vm": vm_preset, "mvm": "mvm",
+            "fwd": "pointnet_pp_forward"}[head]
     cfg = preset(name).replace(num_points=num_points, seed=seed)
     if epochs:
         cfg = cfg.replace(epochs=epochs)
@@ -135,11 +136,15 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--rotation", default=None,
                     help="override preset rotation_mode (yaw/so3/none)")
+    ap.add_argument("--vm-preset", default="vm_kl",
+                    help="vm head preset (vm_kl = parity tanh head, "
+                         "vm_kl_atan2 = wrap-free framework head)")
     ap.add_argument("--out", default=None, help="write JSON summary here")
     a = ap.parse_args()
 
     heads = ["vm", "mvm"] if a.head == "both" else [a.head]
-    results = {h: run_head(h, a.epochs, a.num_points, a.seed, a.rotation)
+    results = {h: run_head(h, a.epochs, a.num_points, a.seed, a.rotation,
+                           vm_preset=a.vm_preset)
                for h in heads}
     if a.out:
         with open(a.out, "w") as f:
