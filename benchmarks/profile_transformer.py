@@ -111,6 +111,23 @@ def main():
 
     print(f"train_moe    : {timed(moe_train, pts, tgt):9.2f} ms/step")
 
+    # capacity-factor gather dispatch (same params tree — dispatch is a
+    # trace-time formulation choice): K*C token-slots of FFN compute
+    # instead of K*T (factor/K of the masked cost) + cumsum/gather/scatter
+    mcap = MODEL_REGISTRY["moe_point_transformer"](
+        n_experts=4, dispatch="capacity", capacity_factor=1.25)
+
+    def moe_cap_train(c, pts, tgt):
+        def loss(p):
+            out, aux = mcap.apply({"params": p}, pts + c * 1e-9, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(3)})
+            return jnp.mean((out - tgt) ** 2) + 0.01 * aux
+
+        l, g = jax.value_and_grad(loss)(vm_["params"])
+        return l + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g)) * 1e-12
+
+    print(f"train_moe_cap: {timed(moe_cap_train, pts, tgt):9.2f} ms/step")
+
 
 if __name__ == "__main__":
     main()

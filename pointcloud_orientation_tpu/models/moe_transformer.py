@@ -39,6 +39,8 @@ class MoETransformerEncoderLayer(nn.Module):
     n_experts: int = 4
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    dispatch: str = "masked"
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -57,6 +59,8 @@ class MoETransformerEncoderLayer(nn.Module):
             embed_dim=self.embed_dim,
             ffn_dim=self.ffn_dim,
             n_experts=self.n_experts,
+            dispatch=self.dispatch,
+            capacity_factor=self.capacity_factor,
         )(x)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         x = nn.LayerNorm(dtype=self.dtype)(x + h)
@@ -79,6 +83,8 @@ class MoEPointTransformer(nn.Module):
     n_experts: int = 4
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    dispatch: str = "masked"
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -88,6 +94,8 @@ class MoEPointTransformer(nn.Module):
             h, aux = MoETransformerEncoderLayer(
                 self.embed_dim, self.num_heads, self.ffn_dim,
                 self.n_experts, self.dropout, dtype=self.dtype,
+                dispatch=self.dispatch,
+                capacity_factor=self.capacity_factor,
                 name=f"MoETransformerEncoderLayer_{i}",
             )(h, train)
             aux_total = aux_total + aux.astype(jnp.float32)

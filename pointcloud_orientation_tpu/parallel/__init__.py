@@ -5,7 +5,8 @@ from .mesh import (
     shard_batch,
     data_axis_size,
 )
-from .ep import MoEFeedForward, make_ep_apply, place_ep_params
+from .ep import (MoEFeedForward, expert_capacity, make_ep_apply,
+                 place_ep_params)
 from .fsdp import fsdp_param_specs, make_fsdp_train_step, shard_fsdp_params
 from .pp import (
     make_pp_apply,
@@ -38,6 +39,7 @@ __all__ = [
     "make_pp_train_step",
     "MoEFeedForward",
     "place_ep_params",
+    "expert_capacity",
     "make_ep_apply",
     "fsdp_param_specs",
     "shard_fsdp_params",

@@ -9,17 +9,27 @@ device owns ``n_experts / n_chips`` experts and computes only those; a
 
 Routing is top-1 softmax ("switch" routing) with the standard
 load-balancing auxiliary loss (mean router prob × assignment fraction per
-expert). Dispatch is the masked-einsum formulation — every device runs its
-local experts over the FULL token set and masks by the router's one-hot
-assignment. Be precise about the cost: this is compute-redundant — each
-device spends ``n_experts / n_chips`` × the FLOPs of true routed dispatch,
-because masked-out tokens are computed then zeroed. A capacity-factor
-``all_to_all`` token exchange (send each token only to its expert's chip)
-is therefore both the compute fix and the bandwidth fix in the LM regime;
-at point-cloud token counts (N ≤ 65k/batch, tiny FFNs) the masked form is
-deliberately chosen anyway because it keeps static shapes and MXU-shaped
-einsums with no gather/scatter, and the redundant FLOPs are below the
-dispatch overhead they would replace.
+expert). Two dispatch formulations, selected by ``dispatch=``:
+
+``"masked"`` (default) — every device runs its local experts over the FULL
+token set and masks by the router's one-hot assignment. Be precise about
+the cost: this is compute-redundant — each device spends
+``n_experts / n_chips`` × the FLOPs of true routed dispatch, because
+masked-out tokens are computed then zeroed — but it keeps static shapes
+and MXU-shaped einsums with no gather/scatter.
+
+``"capacity"`` — switch-style capacity-factor dispatch: each expert gets a
+static buffer of ``C = ceil(T/K · capacity_factor)`` token slots (rounded
+up to a lane multiple); tokens are placed by a cumsum-over-onehot position,
+tokens past an expert's capacity are DROPPED (output zero — the standard
+switch semantics; the transformer's residual connection carries them
+through), and only ``K·C`` token-slots of FFN compute run instead of
+``K·T``. At ``capacity_factor = n_experts`` no token can drop and the
+result equals the masked form exactly. This removes the K× redundancy even
+on a single chip; sharded, each device computes only its local experts'
+slots and the partial outputs psum-combine as before (the compute fix; an
+``all_to_all`` token exchange would additionally fix bandwidth in the LM
+regime, where tokens are data-sharded rather than replicated).
 
 Like TP/PP, this is a capability the torch reference does not have in any
 form; it reproduces no reference lines. The dense path
@@ -49,6 +59,8 @@ class MoEFeedForward(nn.Module):
     embed_dim: int
     ffn_dim: int
     n_experts: int = 4
+    dispatch: str = "masked"  # "masked" | "capacity"
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -69,7 +81,14 @@ class MoEFeedForward(nn.Module):
         mean_prob = jnp.mean(probs, axis=(0, 1))  # (K,)
         aux = K * jnp.sum(frac * mean_prob)
 
-        y = _expert_compute(x, onehot, wi, bi, wo, bo)
+        if self.dispatch == "capacity":
+            cap = expert_capacity(x.shape[0] * x.shape[1], K,
+                                  self.capacity_factor)
+            y = _expert_compute_capacity(x, assign, wi, bi, wo, bo, cap)
+        elif self.dispatch == "masked":
+            y = _expert_compute(x, onehot, wi, bi, wo, bo)
+        else:
+            raise ValueError(f"unknown dispatch {self.dispatch!r}")
         return y * gate[..., None], aux
 
 
@@ -82,6 +101,64 @@ def _expert_compute(x, onehot, wi, bi, wo, bo):
     return jnp.einsum("bnke,bnk->bne", y, onehot)
 
 
+def expert_capacity(n_tokens: int, n_experts: int,
+                    capacity_factor: float) -> int:
+    """Static per-expert slot count: ``ceil(T/K · factor)`` rounded up to a
+    sublane multiple (8) so the (K, C, E) buffers tile cleanly. At
+    ``factor >= n_experts`` this is ≥ T, so no token can ever drop."""
+    cap = -(-n_tokens * capacity_factor // n_experts)  # ceil
+    return int(-(-cap // 8) * 8)
+
+
+def _expert_compute_capacity(x, assign, wi, bi, wo, bo, capacity,
+                             first_expert=None, n_experts_global=None):
+    """Switch-style gather dispatch: each of the (local) experts gets a
+    static buffer of ``capacity`` token slots; tokens are placed in router
+    order by a cumsum position and tokens past an expert's capacity are
+    dropped (zero output — the caller's residual carries them).
+
+    ``first_expert`` selects a contiguous local expert slice
+    ``[first, first + wi.shape[0])`` out of the GLOBAL assignment — the
+    shard_map path passes ``lax.axis_index * n_local``; ``None`` means the
+    slice is the whole expert set. Positions are computed on the global
+    one-hot, so slot layout is identical sharded and unsharded.
+
+    FLOP accounting vs :func:`_expert_compute`: K·C token-slots of FFN work
+    instead of K·T — at capacity_factor f that is f/K of the masked cost —
+    plus O(T·K) integer cumsum and two (K·C, E) gather/scatters.
+    """
+    B, N, E = x.shape
+    K_local = wi.shape[0]
+    T = B * N
+    xf = x.reshape(T, E)
+    a = assign.reshape(T)
+
+    # position of each token within its expert's buffer (global experts —
+    # slot layout must be identical sharded and unsharded)
+    onehot = jax.nn.one_hot(a, n_experts_global or K_local, dtype=jnp.int32)
+    pos = jnp.sum((jnp.cumsum(onehot, axis=0) - 1) * onehot, axis=-1)  # (T,)
+
+    # slot -> token index map; sentinel row T marks empty/overflow slots.
+    # Local experts are columns [first, first+K_local); tokens routed
+    # elsewhere are clamped to an out-of-bounds row and dropped by mode.
+    local_k = a if first_expert is None else a - first_expert
+    local_k = jnp.where((local_k >= 0) & (local_k < K_local),
+                        local_k, K_local)
+    slot_tok = jnp.full((K_local, capacity), T, dtype=jnp.int32)
+    slot_tok = slot_tok.at[local_k, pos].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop")
+
+    # gather -> per-expert FFN -> scatter-add; the sentinel row both feeds
+    # zeros in and swallows the bias-only outputs of empty slots.
+    x_pad = jnp.concatenate([xf, jnp.zeros((1, E), xf.dtype)], axis=0)
+    xg = jnp.take(x_pad, slot_tok, axis=0)  # (K_local, C, E)
+    h = nn.relu(jnp.einsum("kce,kef->kcf", xg, wi) + bi[:, None, :])
+    yg = jnp.einsum("kcf,kfe->kce", h, wo) + bo[:, None, :]
+    yf = jnp.zeros((T + 1, E), yg.dtype).at[slot_tok.reshape(-1)].add(
+        yg.reshape(K_local * capacity, E))
+    return yf[:T].reshape(B, N, E)
+
+
 def make_ep_apply(module: MoEFeedForward, mesh: Mesh,
                   axis_name: str = "expert"):
     """Build ``apply(params, x) -> (y, aux)`` with experts sharded over
@@ -90,8 +167,10 @@ def make_ep_apply(module: MoEFeedForward, mesh: Mesh,
     ``params`` is the module's param dict with the stacked expert leaves
     (``wi/bi/wo/bo``) sharded ``P(axis_name)`` on their leading axis and the
     router replicated (:func:`place_ep_params`). Each device computes the
-    router on the full token set (tiny), runs ONLY its local expert slice,
-    and the partial outputs psum-combine over the ``expert`` axis.
+    router on the full token set (tiny), runs ONLY its local expert slice
+    (honouring ``module.dispatch`` — the capacity form computes only that
+    slice's C-slot buffers, the compute fix on top of the sharding), and
+    the partial outputs psum-combine over the ``expert`` axis.
     """
     from jax import shard_map
 
@@ -108,11 +187,19 @@ def make_ep_apply(module: MoEFeedForward, mesh: Mesh,
         frac = jnp.mean(onehot_full, axis=(0, 1))
         aux = K * jnp.sum(frac * jnp.mean(probs, axis=(0, 1)))
 
-        # local expert slice: mask columns [first, first + n_local)
-        local_onehot = lax.dynamic_slice_in_dim(
-            onehot_full, first, n_local, axis=-1)
-        y_local = _expert_compute(x, local_onehot, params["wi"], params["bi"],
-                                  params["wo"], params["bo"])
+        if module.dispatch == "capacity":
+            cap = expert_capacity(x.shape[0] * x.shape[1], K,
+                                  module.capacity_factor)
+            y_local = _expert_compute_capacity(
+                x, assign, params["wi"], params["bi"], params["wo"],
+                params["bo"], cap, first_expert=first, n_experts_global=K)
+        else:
+            # local expert slice: mask columns [first, first + n_local)
+            local_onehot = lax.dynamic_slice_in_dim(
+                onehot_full, first, n_local, axis=-1)
+            y_local = _expert_compute(x, local_onehot, params["wi"],
+                                      params["bi"], params["wo"],
+                                      params["bo"])
         y = lax.psum(y_local, axis_name)
         return y * gate[..., None], aux
 

@@ -64,6 +64,8 @@ class TrainConfig:
     # MoE transformer (task "forward_mse_aux")
     moe_experts: int = 4
     moe_aux_weight: float = 0.01  # switch load-balance coefficient
+    moe_dispatch: str = "masked"  # "capacity" = switch gather dispatch
+    moe_capacity_factor: float = 1.25  # per-expert slots = T/K * factor
     # framework improvements over the reference (0/"tanh" = exact parity)
     mvm_unmatched_penalty: float = 0.0  # guard vs the weight-collapse minimum
     mvm_weight_floor: float = 0.0  # w = (1-f)*softmax + f/K (anti-collapse)

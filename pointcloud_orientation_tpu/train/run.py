@@ -310,6 +310,13 @@ def main(argv=None):
              "--checkpoint-every (see train/protocol_ckpt.py)",
     )
     ap.add_argument(
+        "--moe-dispatch", default=None, choices=("masked", "capacity"),
+        dest="moe_dispatch",
+        help="MoE FFN dispatch (moe_point_transformer): masked dense "
+             "(default, K-times redundant compute) or switch-style "
+             "capacity-factor gather dispatch (parallel/ep.py)",
+    )
+    ap.add_argument(
         "--knn", default=None, choices=("exact", "approx"),
         help="neighbor-selection formulation: exact (default, reference "
              "semantics) or approx (TPU PartialReduce hardware top-k — "
@@ -326,7 +333,7 @@ def main(argv=None):
     overrides = {}
     for field in ("epochs", "batch_size", "num_points", "lr", "seed",
                   "checkpoint_every", "compute_dtype", "transformer_attention",
-                  "lr_schedule", "warmup_epochs"):
+                  "lr_schedule", "warmup_epochs", "moe_dispatch"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v

@@ -156,6 +156,9 @@ class Trainer:
             kwargs["attention_impl"] = cfg.transformer_attention
         if "n_experts" in fields:
             kwargs["n_experts"] = cfg.moe_experts
+        if "dispatch" in fields:
+            kwargs["dispatch"] = cfg.moe_dispatch
+            kwargs["capacity_factor"] = cfg.moe_capacity_factor
         if cfg.compute_dtype and "dtype" in fields:
             kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
         return model_cls(**kwargs)
