@@ -60,6 +60,7 @@ class OrientationPredictor:
         mesh=None,
         mesh_axis: str = "data",
         tta_views: int = 1,
+        ensemble_size: int = 1,
         **model_kwargs: Any,
     ):
         """``mesh``/``mesh_axis``: optional multi-chip serving — weights are
@@ -83,7 +84,23 @@ class OrientationPredictor:
           tuple structure, wider component axis.
 
         View noise cancels while the signal aligns, for V× inference
-        FLOPs."""
+        FLOPs.
+
+        ``ensemble_size``: deep-ensemble serving over S independently
+        trained members (e.g. a vmapped seed sweep,
+        ``train.multiseed.run_multi_seed(return_params=True)`` — see
+        :meth:`from_seed_sweep`). ``params``/``batch_stats`` arrive with a
+        leading ``S`` axis; one jitted program vmaps the network over the
+        member axis and combines with the SAME per-family math as TTA
+        (seed members are "views at angle 0"): 8-dir averages member
+        probabilities, vector/axes heads average derotated vectors, vM
+        moment-matches the S·V-component average density, MvM returns the
+        exact averaged mixture with S·V·K components (weights ÷ S·V).
+        Composes with ``tta_views`` — the joint average runs over all
+        S·V network evaluations in one program. The reference has no
+        ensemble path at all; seed variance is the dominant error term on
+        every measured protocol (RESULTS.md north-star envelopes), which
+        is exactly what ensembling averages away."""
         if model_name in MULTI_OUTPUT_MODELS:
             raise ValueError(
                 f"{model_name!r} returns (out, aux_loss) — a training-only "
@@ -100,6 +117,9 @@ class OrientationPredictor:
         _tta_dist = {"pointnet_pp_von_mises", "pointnet_pp_mvm"}
         if tta_views < 1:
             raise ValueError(f"tta_views must be >= 1, got {tta_views}")
+        if ensemble_size < 1:
+            raise ValueError(
+                f"ensemble_size must be >= 1, got {ensemble_size}")
         if tta_views > 1:
             if model_name == "pointnet_pp_8dir":
                 if tta_views not in (2, 4, 8):
@@ -112,11 +132,24 @@ class OrientationPredictor:
                     "slot shift, forward/axes vector derotation, or "
                     "vM/MvM angle derotation); model "
                     f"{model_name!r} is unsupported")
-            if mesh is not None:
+        if ensemble_size > 1:
+            known = _tta_vector | _tta_tuple | _tta_dist | {"pointnet_pp_8dir"}
+            if model_name not in known:
                 raise ValueError(
-                    "tta_views > 1 with a mesh is unsupported (the "
-                    "view-stacked batch would break the bucket sharding)")
+                    "ensemble combining needs a head family with a defined "
+                    "average (8-dir probs, vectors, vM/MvM densities); "
+                    f"model {model_name!r} is unsupported")
+            if quantize is not None or scales is not None:
+                raise ValueError(
+                    "ensemble_size > 1 with int8 quantization is "
+                    "unsupported (per-member scale trees don't stack)")
+        if (tta_views > 1 or ensemble_size > 1) and mesh is not None:
+            raise ValueError(
+                "tta_views/ensemble_size > 1 with a mesh is unsupported "
+                "(the view/member-stacked batch would break the bucket "
+                "sharding)")
         self.tta_views = tta_views
+        self.ensemble_size = ensemble_size
         self._tta_mode = (
             "slots" if model_name == "pointnet_pp_8dir"
             else "tuple" if model_name in _tta_tuple
@@ -153,6 +186,7 @@ class OrientationPredictor:
             self._axis_size = mesh.shape[mesh_axis]
 
         V = self.tta_views
+        S = self.ensemble_size
 
         @functools.partial(jax.jit, static_argnames=())
         def _apply(variables, scales, pts, rng):
@@ -163,15 +197,21 @@ class OrientationPredictor:
                     variables,
                     params=dequantize_params(variables["params"], scales),
                 )
-            if V == 1:
+
+            def net(vars_, x):
                 return self.model.apply(
-                    variables, pts, train=False, rngs={"sampling": rng}
-                )
-            # yaw-voting TTA: one model call on the (V*B) view-stacked
-            # batch, per-view derotation, average. 8-dir: 45°-multiple
-            # views unshift by label slots; vector/axes heads: ANY-angle
-            # views derotate the predicted vectors (R^T v), exact yaw
-            # equivariance in both cases.
+                    vars_, x, train=False, rngs={"sampling": rng})
+
+            if V == 1 and S == 1:
+                return net(variables, pts)
+            # yaw-voting TTA / deep-ensemble combine: one model call per
+            # member on the (V*B) view-stacked batch, per-view derotation,
+            # average over all S·V evaluations. 8-dir: 45°-multiple views
+            # unshift by label slots; vector/axes heads: ANY-angle views
+            # derotate the predicted vectors (R^T v) — exact yaw
+            # equivariance either way. Ensemble members are "views at
+            # angle 0": every family's combine is an equal-weight average,
+            # so the two axes fold into one.
             from .ops.rotations import yaw_matrix
 
             if self._tta_mode == "slots":
@@ -183,20 +223,27 @@ class OrientationPredictor:
                     [i * 2.0 * jnp.pi / V for i in range(V)])
             rots = yaw_matrix(angles)  # (V, 3, 3)
             B = pts.shape[0]
-            views = jnp.einsum(
-                "vij,bnj->vbni", rots, pts,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(V * B, *pts.shape[1:])
-            out = self.model.apply(
-                variables, views, train=False, rngs={"sampling": rng}
-            )
+            if V > 1:
+                views = jnp.einsum(
+                    "vij,bnj->vbni", rots, pts,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(V * B, *pts.shape[1:])
+            else:
+                views = pts
+            if S > 1:
+                # member axis = leading axis of every param/stat leaf
+                out = jax.vmap(lambda vs: net(vs, views))(variables)
+            else:
+                out = jax.tree_util.tree_map(
+                    lambda a: a[None], net(variables, views))
+            # every leaf is now (S, V*B, ...)
             if self._tta_mode == "slots":
                 step = 8 // V
-                probs = jax.nn.softmax(out, axis=-1).reshape(V, B, 8)
+                probs = jax.nn.softmax(out, axis=-1).reshape(S, V, B, 8)
                 unshifted = jnp.stack(
-                    [jnp.roll(probs[i], i * step, axis=-1)
-                     for i in range(V)])
-                return jnp.log(unshifted.mean(0) + 1e-12)
+                    [jnp.roll(probs[:, i], i * step, axis=-1)
+                     for i in range(V)], axis=1)
+                return jnp.log(unshifted.mean((0, 1)) + 1e-12)
 
             # distribution heads: rotating a cloud by yaw(theta) shifts the
             # label angle by -theta (measured: ops/rotations.py mu
@@ -204,37 +251,42 @@ class OrientationPredictor:
             if self._tta_mode == "vm":
                 from .ops.von_mises import vm_mixture_moment_match
 
-                mu, kappa = out  # (V*B,) each
-                mu = mu.reshape(V, B) + angles[:, None]
-                kappa = kappa.reshape(V, B)
-                # exact density average is a V-component mixture; the head's
-                # (mu, kappa) contract is kept by the first-circular-moment
-                # fit (mu* = arg m1, kappa* = A^-1(|m1|))
-                return vm_mixture_moment_match(mu, kappa, axis=0)
+                mu, kappa = out  # (S, V*B) each
+                mu = mu.reshape(S, V, B) + angles[None, :, None]
+                # the exact density average is an (S·V)-component mixture;
+                # the head's (mu, kappa) contract is kept by the joint
+                # first-circular-moment fit (mu* = arg m1, k* = A^-1(|m1|))
+                return vm_mixture_moment_match(
+                    mu.reshape(S * V, B), kappa.reshape(S * V, B), axis=0)
             if self._tta_mode == "mvm":
                 from .ops.von_mises import wrap_angle
 
-                mu, kappa, w = out  # (V*B, K) each
+                mu, kappa, w = out  # (S, V*B, K) each
                 K = mu.shape[-1]
-                # the average of V mixtures IS a mixture: return the exact
-                # (V*K)-component result — weights scaled by 1/V, every
-                # downstream consumer (grid density, argmax-weight decode)
-                # works unchanged on the wider component axis
-                mu = wrap_angle(mu.reshape(V, B, K) + angles[:, None, None])
-                mu = jnp.moveaxis(mu, 0, 1).reshape(B, V * K)
+                # the average of S·V mixtures IS a mixture: return the
+                # exact (S·V·K)-component result — weights scaled by
+                # 1/(S·V), every downstream consumer (grid density,
+                # argmax-weight decode) works unchanged on the wider
+                # component axis
+                mu = wrap_angle(
+                    mu.reshape(S, V, B, K) + angles[None, :, None, None])
+                mu = jnp.moveaxis(
+                    mu.reshape(S * V, B, K), 0, 1).reshape(B, S * V * K)
                 kappa = jnp.moveaxis(
-                    kappa.reshape(V, B, K), 0, 1).reshape(B, V * K)
+                    kappa.reshape(S, V, B, K).reshape(S * V, B, K),
+                    0, 1).reshape(B, S * V * K)
                 w = jnp.moveaxis(
-                    w.reshape(V, B, K), 0, 1).reshape(B, V * K) / V
+                    w.reshape(S, V, B, K).reshape(S * V, B, K),
+                    0, 1).reshape(B, S * V * K) / (S * V)
                 return mu, kappa, w
 
             def derotate_mean(vecs):
-                vv = vecs.reshape(V, B, 3)
+                vv = vecs.reshape(S, V, B, 3)
                 back = jnp.einsum(
-                    "vji,vbj->vbi", rots, vv,
+                    "vji,svbj->svbi", rots, vv,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # R(-θ) v per view
-                return back.mean(0)
+                )  # R(-θ) v per view, every member
+                return back.mean((0, 1))
 
             if self._tta_mode == "tuple":
                 return tuple(derotate_mean(v) for v in out)
@@ -274,6 +326,43 @@ class OrientationPredictor:
 
         quantized, scales, batch_stats = load_quantized_checkpoint(path)
         return cls(model, quantized, batch_stats, scales=scales, **kw)
+
+    @classmethod
+    def from_seed_sweep(
+        cls, model: str, members, **kw
+    ) -> "OrientationPredictor":
+        """Deep ensemble from per-member weight trees — e.g. the vmapped
+        seed sweep's output (``run_multi_seed(..., return_params=True)``):
+
+            res = run_multi_seed(cfg, ds, seeds=range(42, 50),
+                                 return_params=True)
+            pred = OrientationPredictor.from_seed_sweep(
+                cfg.model, [res[s] for s in sorted(res)])
+
+        ``members``: sequence of ``{"params": tree, "batch_stats": tree}``
+        dicts (``batch_stats`` optional but must be all-present or
+        all-absent). Leaves are stacked on a new leading member axis and
+        served through one jitted program (see ``ensemble_size``)."""
+        members = list(members)
+        if not members:
+            raise ValueError("from_seed_sweep needs at least one member")
+        if len(members) == 1:  # S=1 serves unstacked (plain predictor)
+            m = members[0]
+            return cls(model, m["params"], m.get("batch_stats"), **kw)
+        params = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[m["params"] for m in members])
+        stats = [m.get("batch_stats") for m in members]
+        if any(s is not None for s in stats):
+            if any(s is None for s in stats):
+                raise ValueError(
+                    "batch_stats must be present for every member or none")
+            batch_stats = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *stats)
+        else:
+            batch_stats = None
+        return cls(model, params, batch_stats,
+                   ensemble_size=len(members), **kw)
 
     # ---------- serving ----------
 

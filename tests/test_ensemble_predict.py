@@ -1,0 +1,220 @@
+"""Deep-ensemble serving (`OrientationPredictor(ensemble_size=S)`).
+
+The reference has no ensemble path; every north-star envelope shows seed
+variance as the dominant error term, which member averaging targets
+directly. These tests pin the combine math exactly: member averaging uses
+the SAME per-family rules as yaw-voting TTA (members are "views at angle
+0"), so each case is checked against a hand-computed average of
+single-member predictions.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_orientation_tpu.infer import OrientationPredictor
+
+
+def _init(model_cls, key, n=64, **kw):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, n, 3))
+    rngs = {"params": jax.random.PRNGKey(key)}
+    if model_cls.__name__ == "PointNetPPMvM":
+        rngs["dropout"] = jax.random.PRNGKey(key + 1000)
+    return model_cls(sampling="first").init(rngs, x, train=False)
+
+
+def _members(model_cls, keys, n=64):
+    out = []
+    for k in keys:
+        v = _init(model_cls, k, n)
+        out.append({"params": v["params"],
+                    "batch_stats": v.get("batch_stats")})
+    return out
+
+
+def _clouds(b=2, n=64):
+    return np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (b, n, 3)), np.float32)
+
+
+def test_ensemble_of_identical_members_is_neutral():
+    """S copies of the same weights must reproduce the single model: the
+    8-dir combine returns log-mean-probs (a per-row constant away from the
+    raw logits), so compare in probability space."""
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+
+    v = _init(PointNetPP8Dir, 1)
+    member = {"params": v["params"], "batch_stats": v.get("batch_stats")}
+    single = OrientationPredictor(
+        "pointnet_pp_8dir", v["params"], v.get("batch_stats"),
+        num_points=64, sampling="first")
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_8dir", [member] * 3, num_points=64, sampling="first")
+    assert ens.ensemble_size == 3
+    clouds = _clouds()
+    p_single = np.asarray(jax.nn.softmax(jnp.asarray(single(clouds)), -1))
+    p_ens = np.asarray(jax.nn.softmax(jnp.asarray(ens(clouds)), -1))
+    np.testing.assert_allclose(p_ens, p_single, atol=1e-5)
+
+
+def test_ensemble_vector_head_matches_manual_member_average():
+    from pointcloud_orientation_tpu.models import PointNetPPFwd
+
+    members = _members(PointNetPPFwd, [1, 2, 3])
+    singles = [
+        OrientationPredictor(
+            "pointnet_pp_fwd", m["params"], m["batch_stats"],
+            num_points=64, sampling="first")
+        for m in members
+    ]
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_fwd", members, num_points=64, sampling="first")
+    clouds = _clouds()
+    manual = np.stack([np.asarray(p(clouds)) for p in singles]).mean(0)
+    np.testing.assert_allclose(np.asarray(ens(clouds)), manual, atol=1e-5)
+
+
+def test_ensemble_8dir_matches_manual_prob_average():
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+
+    members = _members(PointNetPP8Dir, [1, 2])
+    singles = [
+        OrientationPredictor(
+            "pointnet_pp_8dir", m["params"], m["batch_stats"],
+            num_points=64, sampling="first")
+        for m in members
+    ]
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_8dir", members, num_points=64, sampling="first")
+    clouds = _clouds()
+    manual = np.stack([
+        np.asarray(jax.nn.softmax(jnp.asarray(p(clouds)), -1))
+        for p in singles
+    ]).mean(0)
+    got = np.asarray(jax.nn.softmax(jnp.asarray(ens(clouds)), -1))
+    np.testing.assert_allclose(got, manual, atol=1e-5)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_ensemble_vm_head_joint_moment_match():
+    """vM ensemble = joint first-circular-moment fit over all members."""
+    from pointcloud_orientation_tpu.models import PointNetPPVonMises
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        vm_mixture_moment_match,
+    )
+
+    members = _members(PointNetPPVonMises, [1, 2, 3])
+    singles = [
+        OrientationPredictor(
+            "pointnet_pp_von_mises", m["params"], m["batch_stats"],
+            num_points=64, sampling="first")
+        for m in members
+    ]
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_von_mises", members, num_points=64, sampling="first")
+    clouds = _clouds()
+    mus, kappas = zip(*[
+        (np.asarray(p(clouds)[0]), np.asarray(p(clouds)[1]))
+        for p in singles
+    ])
+    mu_m, kappa_m = vm_mixture_moment_match(
+        jnp.asarray(np.stack(mus)), jnp.asarray(np.stack(kappas)), axis=0)
+    mu_e, kappa_e = ens(clouds)
+    np.testing.assert_allclose(np.asarray(mu_e), np.asarray(mu_m), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kappa_e), np.asarray(kappa_m), atol=1e-4)
+
+
+def test_ensemble_composes_with_tta_mvm_exact_mixture():
+    """S=2 members x V=2 views: the MvM output is the exact S*V*K-component
+    averaged mixture — its grid density equals the mean of the per-(member,
+    view) derotated densities, and weights still sum to 1."""
+    from pointcloud_orientation_tpu.models import PointNetPPMvM
+    from pointcloud_orientation_tpu.ops.rotations import yaw_matrix
+    from pointcloud_orientation_tpu.ops.von_mises import (
+        mixture_von_mises_pdf, wrap_angle,
+    )
+
+    members = _members(PointNetPPMvM, [1, 2])
+    singles = [
+        OrientationPredictor(
+            "pointnet_pp_mvm", m["params"], m["batch_stats"],
+            num_points=64, sampling="first")
+        for m in members
+    ]
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_mvm", members, num_points=64, sampling="first",
+        tta_views=2)
+    clouds = _clouds()
+    grid = jnp.linspace(0.0, 2 * np.pi, 181)[:-1]
+    densities = []
+    for p in singles:
+        for k in range(2):
+            theta = k * 2 * np.pi / 2
+            rot = np.asarray(yaw_matrix(jnp.asarray(theta)))
+            mu_v, kappa_v, w_v = (jnp.asarray(np.asarray(o))
+                                  for o in p(clouds @ rot.T))
+            densities.append(mixture_von_mises_pdf(
+                grid[None, :], wrap_angle(mu_v + theta), kappa_v, w_v))
+    manual = jnp.stack(densities).mean(0)
+
+    mu_e, kappa_e, w_e = (jnp.asarray(np.asarray(o)) for o in ens(clouds))
+    K = densities and 4  # reference head K=4
+    assert mu_e.shape == (2, 2 * 2 * K) and w_e.shape == (2, 2 * 2 * K)
+    np.testing.assert_allclose(np.asarray(w_e.sum(-1)), 1.0, atol=1e-5)
+    got = mixture_von_mises_pdf(grid[None, :], mu_e, kappa_e, w_e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(manual),
+                               atol=1e-5)
+
+
+def test_ensemble_tuple_head_shapes():
+    from pointcloud_orientation_tpu.models import PointNetPPXYZ
+
+    members = _members(PointNetPPXYZ, [1, 2])
+    ens = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_xyz", members, num_points=64, sampling="first")
+    out = ens(_clouds())
+    assert isinstance(out, tuple) and len(out) == 2
+    assert out[0].shape == (2, 3) and out[1].shape == (2, 3)
+
+
+def test_ensemble_validation():
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+    from pointcloud_orientation_tpu.parallel import make_mesh
+
+    # classifier logits have no defined ensemble average here (validation
+    # fires before params are touched, so an empty tree suffices)
+    with pytest.raises(ValueError, match="unsupported"):
+        OrientationPredictor(
+            "pointnet_pp_cls", {}, num_points=64, ensemble_size=2)
+    v8 = _init(PointNetPP8Dir, 1)
+    with pytest.raises(ValueError, match="quantization"):
+        OrientationPredictor(
+            "pointnet_pp_8dir", v8["params"], v8.get("batch_stats"),
+            num_points=64, ensemble_size=2, quantize="int8")
+    with pytest.raises(ValueError, match="mesh"):
+        OrientationPredictor(
+            "pointnet_pp_8dir", v8["params"], v8.get("batch_stats"),
+            num_points=64, ensemble_size=2,
+            mesh=make_mesh(("data",), (8,)))
+    with pytest.raises(ValueError, match="at least one"):
+        OrientationPredictor.from_seed_sweep("pointnet_pp_8dir", [])
+
+
+def test_from_seed_sweep_single_member_equals_plain():
+    from pointcloud_orientation_tpu.models import PointNetPPFwd
+
+    v = _init(PointNetPPFwd, 1)
+    plain = OrientationPredictor(
+        "pointnet_pp_fwd", v["params"], v.get("batch_stats"),
+        num_points=64, sampling="first")
+    swept = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_fwd",
+        [{"params": v["params"], "batch_stats": v.get("batch_stats")}],
+        num_points=64, sampling="first")
+    clouds = _clouds()
+    np.testing.assert_allclose(
+        np.asarray(swept(clouds)), np.asarray(plain(clouds)), atol=1e-5)
