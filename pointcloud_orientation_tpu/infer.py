@@ -19,6 +19,7 @@ Example
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -343,6 +344,7 @@ class OrientationPredictor:
         dicts (``batch_stats`` optional but must be all-present or
         all-absent). Leaves are stacked on a new leading member axis and
         served through one jitted program (see ``ensemble_size``)."""
+        # (single-member sweeps fall through to the plain predictor below)
         members = list(members)
         if not members:
             raise ValueError("from_seed_sweep needs at least one member")
@@ -363,6 +365,39 @@ class OrientationPredictor:
             batch_stats = None
         return cls(model, params, batch_stats,
                    ensemble_size=len(members), **kw)
+
+    @classmethod
+    def from_protocol_checkpoint(
+        cls, path: str, model: str, members=None, **kw
+    ) -> "OrientationPredictor":
+        """Deep ensemble straight from a vmapped MULTI-SEED protocol
+        checkpoint (``--seeds ... --checkpoint-every``,
+        `train/protocol_ckpt.py`): the saved carry's best-val weights
+        already carry the stacked member axis, so the whole sweep serves
+        with zero re-stacking. ``path`` is a ``step_<E>`` directory;
+        ``members`` optionally selects a subset by member index.
+
+        Not for the per-LABEL protocol's checkpoints — those stack 40
+        per-class models whose outputs answer different questions;
+        averaging them is not an ensemble."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            carry = ckptr.restore(os.path.join(path, "carry"))
+        params = carry["best_params"]
+        stats = carry.get("best_batch_stats") or None
+        if members is not None:
+            idx = np.asarray(list(members))
+            take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: np.asarray(x)[idx], t)
+            params, stats = take(params), (take(stats) if stats else None)
+        size = int(jax.tree_util.tree_leaves(params)[0].shape[0])
+        if size == 1:  # plain predictor: drop the unit member axis
+            squeeze = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: np.asarray(x)[0], t)
+            return cls(model, squeeze(params),
+                       squeeze(stats) if stats else None, **kw)
+        return cls(model, params, stats, ensemble_size=size, **kw)
 
     # ---------- serving ----------
 

@@ -204,6 +204,51 @@ def test_ensemble_validation():
         OrientationPredictor.from_seed_sweep("pointnet_pp_8dir", [])
 
 
+def test_from_protocol_checkpoint_serves_sweep(tmp_path):
+    """The vmapped multi-seed protocol's checkpoint carry (stacked best-val
+    weights) serves directly as the ensemble: outputs must match
+    from_seed_sweep over the sweep's returned per-seed weights, and a
+    members= subset must match the single-member predictor."""
+    from pointcloud_orientation_tpu.data import OrientationDataset
+    from pointcloud_orientation_tpu.train import preset
+    from pointcloud_orientation_tpu.train.multiseed import run_multi_seed
+
+    cfg = preset("8dir_kl").replace(
+        num_points=128, batch_size=8, classes=("chair", "bottle"),
+        epochs=4, checkpoint_every=2)
+    ds = OrientationDataset.synthetic(samples_per_class=10, num_points=160)
+    ck = str(tmp_path / "ck")
+    # the final block never checkpoints (a completed run returns its state),
+    # so step_2 is the mid-run save; epochs 1-2 are bitwise identical to a
+    # 2-epoch run (absolute-epoch PRNG streams) — that run's returned best
+    # weights are the ground truth for what step_2 stored
+    run_multi_seed(cfg, ds, seeds=[42, 43], log_every=0, checkpoint_dir=ck)
+    res = run_multi_seed(cfg.replace(epochs=2, checkpoint_every=0), ds,
+                         seeds=[42, 43], log_every=0, return_params=True)
+    step = ck + "/step_2"
+    ens_ck = OrientationPredictor.from_protocol_checkpoint(
+        step, cfg.model, num_points=128, sampling="first")
+    assert ens_ck.ensemble_size == 2
+    ens_mem = OrientationPredictor.from_seed_sweep(
+        cfg.model,
+        [{"params": res[s]["params"], "batch_stats": res[s]["batch_stats"]}
+         for s in (42, 43)],
+        num_points=128, sampling="first")
+    clouds = _clouds(n=128)
+    np.testing.assert_allclose(
+        np.asarray(ens_ck(clouds)), np.asarray(ens_mem(clouds)), atol=1e-5)
+
+    # subset of one member == that member's plain predictor
+    solo_ck = OrientationPredictor.from_protocol_checkpoint(
+        step, cfg.model, members=[1], num_points=128, sampling="first")
+    assert solo_ck.ensemble_size == 1
+    solo = OrientationPredictor(
+        cfg.model, res[43]["params"], res[43]["batch_stats"],
+        num_points=128, sampling="first")
+    np.testing.assert_allclose(
+        np.asarray(solo_ck(clouds)), np.asarray(solo(clouds)), atol=1e-5)
+
+
 def test_from_seed_sweep_single_member_equals_plain():
     from pointcloud_orientation_tpu.models import PointNetPPFwd
 
