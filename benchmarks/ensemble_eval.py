@@ -76,14 +76,31 @@ def eval_vm(out, batch, uni):
     return dict(loss=float(np.mean(losses)), ang=float(np.nanmean(angs)))
 
 
+def eval_mvm(out, batch, uni):
+    """Matched loss (rect=True: V·K predicted components compete for the
+    K_gt slots) + the assignment-free grid-KL density metric — the same
+    pair the MvM TTA table uses (`tta_dist_eval.py`)."""
+    from cross_stack import _metrics_mvm, _metrics_mvm_grid
+
+    mu, kappa, w = out
+    gt_params = np.stack([np.asarray(batch["mvm_mu"]),
+                          np.asarray(batch["mvm_kappa"]),
+                          np.asarray(batch["mvm_weight"])], -1)
+    gt_k = np.asarray(batch["mvm_k"])
+    losses, angs = _metrics_mvm(mu, kappa, w, gt_params, gt_k, rect=True)
+    grid_kl = _metrics_mvm_grid(mu, kappa, w, gt_params, gt_k)
+    return dict(loss=float(np.mean(losses)), ang=float(np.nanmean(angs)),
+                grid_kl=float(np.mean(grid_kl)))
+
+
 def run_head(head: str, seeds, epochs, num_points, tta_v):
     from pointcloud_orientation_tpu.data import OrientationDataset
     from pointcloud_orientation_tpu.infer import OrientationPredictor
     from pointcloud_orientation_tpu.train import preset
     from pointcloud_orientation_tpu.train.multiseed import run_multi_seed
 
-    name = {"8dir": "8dir_kl", "vm": "vm_kl"}[head]
-    score = {"8dir": eval_8dir, "vm": eval_vm}[head]
+    name = {"8dir": "8dir_kl", "vm": "vm_kl", "mvm": "mvm"}[head]
+    score = {"8dir": eval_8dir, "vm": eval_vm, "mvm": eval_mvm}[head]
     cfg = preset(name).replace(num_points=num_points, seed=42)
     if epochs:
         cfg = cfg.replace(epochs=epochs)
@@ -102,7 +119,9 @@ def run_head(head: str, seeds, epochs, num_points, tta_v):
     members = [{"params": res[s]["params"],
                 "batch_stats": res[s]["batch_stats"]} for s in seeds]
     kwargs = (dict(mu_parameterization=cfg.vm_mu_parameterization)
-              if head == "vm" else {})
+              if head == "vm" else
+              dict(max_K=cfg.max_k, weight_floor=cfg.mvm_weight_floor,
+                   mu_init=cfg.mvm_mu_init) if head == "mvm" else {})
 
     rows = {"members": {}, "seeds": list(seeds)}
     # one predictor, swap member weights in — the S=1 program compiles once
@@ -115,12 +134,13 @@ def run_head(head: str, seeds, epochs, num_points, tta_v):
             pred1.variables["batch_stats"] = m["batch_stats"]
         rows["members"][s] = score(pred1(clouds), batch, uni)
         print(f"[{head}] member s{s}: {rows['members'][s]}", flush=True)
-    m_ang = [r["ang"] for r in rows["members"].values()]
-    m_loss = [r["loss"] for r in rows["members"].values()]
-    rows["member_mean"] = dict(ang=float(np.mean(m_ang)),
-                               loss=float(np.mean(m_loss)))
-    rows["member_best"] = dict(ang=float(np.min(m_ang)),
-                               loss=float(np.min(m_loss)))
+    mkeys = list(rows["members"][seeds[0]].keys())
+    rows["member_mean"] = {
+        k: float(np.mean([r[k] for r in rows["members"].values()]))
+        for k in mkeys}
+    rows["member_best"] = {
+        k: float(np.min([r[k] for r in rows["members"].values()]))
+        for k in mkeys}
 
     ens = OrientationPredictor.from_seed_sweep(
         cfg.model, members, num_points=num_points, max_batch=64, **kwargs)
@@ -142,7 +162,8 @@ def run_head(head: str, seeds, epochs, num_points, tta_v):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--head", choices=["8dir", "vm", "both"], default="both")
+    ap.add_argument("--head", choices=["8dir", "vm", "mvm", "both"],
+                    default="both")
     ap.add_argument("--seeds", default="45,46,47,48,49,50,51,52",
                     help="the published envelope seeds (RESULTS.md)")
     ap.add_argument("--epochs", type=int, default=None)
