@@ -108,6 +108,7 @@ _SLOW_TESTS = {
     "test_accumulated_grads_equal_full_batch",
     "test_quantize_selects_kernels_and_shrinks",
     "test_dp_matches_single_device",
+    "test_from_protocol_checkpoint_serves_sweep",
 }
 
 
