@@ -721,7 +721,8 @@ def train_ours(head: str, eval_tree: str, out_dir: str,
 
 def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
                          num_points: int = 1024, pack_points: int = 0,
-                         vm_preset: str = "vm_kl", suffix: str = "") -> dict:
+                         vm_preset: str = "vm_kl", suffix: str = "",
+                         ensemble_tta: int = 0) -> dict:
     """Widen OUR seed envelope with the vmapped multi-seed protocol: every
     seed trains in ONE XLA program (train/multiseed.py — 21-27x the
     sequential wall-clock), then each seed's best-val weights are
@@ -771,6 +772,47 @@ def train_ours_multiseed(head: str, eval_tree: str, out_dir: str, seeds,
             json.dump({f"{head}_s{s}": cell}, f, indent=2)
         print(f"[{head} s{s}] loss {cell['loss']:.4f} "
               f"ang {cell['mean_angular_error_deg']:.2f}")
+
+    if ensemble_tta:
+        # ours-only north-star leg: the whole sweep served as ONE deep
+        # ensemble (infer.from_seed_sweep) on the SAME shared eval tree
+        # with the SAME metric — directly comparable to the reference's
+        # single-seed cells, measuring what a reference user gains by
+        # switching. ensemble_tta=1: plain S-ensemble; >1: xTTA views.
+        from pointcloud_orientation_tpu.infer import OrientationPredictor
+
+        kwargs = (dict(mu_parameterization=cfg.vm_mu_parameterization)
+                  if head == "vm" else
+                  dict(max_K=cfg.max_k, weight_floor=cfg.mvm_weight_floor,
+                       mu_init=cfg.mvm_mu_init) if head == "mvm" else {})
+        members = [{"params": res[s]["params"],
+                    "batch_stats": res[s]["batch_stats"]} for s in seeds]
+        for V in sorted({1, ensemble_tta}):
+            pred = OrientationPredictor.from_seed_sweep(
+                cfg.model, members, num_points=num_points, max_batch=32,
+                tta_views=V, **kwargs)
+            eout = pred(data["pts"])
+            if head == "8dir":  # log-mean-probs are valid logits for the CE
+                losses, angs = _metrics_8dir(
+                    eout, data["probs"], data["axes"][:, 2])
+            elif head == "vm":
+                losses, angs = _metrics_vm(eout[0], eout[1], data["vm"])
+            else:  # S*V*K-component mixture: rect matching (r4 finding)
+                losses, angs = _metrics_mvm(
+                    eout[0], eout[1], eout[2], data["mvm_params"],
+                    data["mvm_k"], rect=True)
+            cell = _summarize(
+                losses, angs, data["labels"], classes, head=head,
+                ckpt="(ensemble)", tree=eval_tree, stack="ours",
+                protocol=f"ensemble_S{len(seeds)}_V{V}",
+                seeds=list(seeds))
+            name = f"ours_{head}_ensemble_S{len(seeds)}_V{V}{suffix}"
+            with open(os.path.join(out_dir, f"{name}_eval.json"), "w") as f:
+                json.dump({name: cell}, f, indent=2)
+            out[f"ensemble_V{V}"] = cell
+            print(f"[{head} ensemble S={len(seeds)} V={V}] "
+                  f"loss {cell['loss']:.4f} "
+                  f"ang {cell['mean_angular_error_deg']:.2f}")
     return out
 
 
@@ -838,6 +880,10 @@ def main(argv=None):
     tm.add_argument("--suffix", default="",
                     help="artifact filename suffix (probe runs: keeps "
                          "non-matrix cells out of summarize_matrix)")
+    tm.add_argument("--ensemble-tta", type=int, default=0,
+                    help="also evaluate the sweep as ONE deep ensemble on "
+                         "the shared tree (1 = plain ensemble; >1 = xTTA "
+                         "with that many views)")
     o = sub.add_parser("eval-ours")
     o.add_argument("--torch-ckpt", required=True,
                    help="reference .pth to import into OUR stack")
@@ -867,7 +913,7 @@ def main(argv=None):
             args.head, args.eval_tree, args.out,
             [int(s) for s in args.seeds.split(",")],
             pack_points=args.pack_points, vm_preset=args.vm_preset,
-            suffix=args.suffix)
+            suffix=args.suffix, ensemble_tta=args.ensemble_tta)
     elif args.cmd == "eval-ours":
         classes = (args.classes.split(",") if args.classes
                    else CLASSES_8DIR if args.head in ("8dir", "vm")
