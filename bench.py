@@ -6,14 +6,33 @@ optimizer steps and inference passes, matching the protocol of
 ``benchmarks/torch_baseline.py`` (the reference-equivalent PyTorch CPU
 implementation that provides the ``vs_baseline`` denominator).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line (schema below). Hardened for the remote-TPU tunnel
+(round-4 lesson: BENCH_r04.json was rc=124 because one tunnel hang ate the
+whole capture window):
+
+- ``faulthandler.dump_traceback_later(120, repeat=True)`` runs from start,
+  so a hang is diagnosable from stderr.
+- Every device-value fetch runs in a daemon thread with a deadline
+  (``BENCH_FETCH_TIMEOUT_S``, default 240 s) and is retried ONCE by
+  re-dispatching the round; a poisoned fetch cannot freeze the process.
+- A fully parseable JSON line is printed after the FIRST measured round;
+  the final median line (same schema, ``"rounds"`` tells them apart)
+  follows when all rounds finish. A mid-run hang therefore still leaves a
+  driver-parseable record.
+- ``BENCH_BUDGET_S`` (default 600) bounds wall-clock: remaining rounds are
+  skipped when the budget would be exceeded, and the median of completed
+  rounds is emitted.
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "rounds": N}
 """
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
@@ -48,6 +67,67 @@ STEPS = int(os.environ.get("BENCH_STEPS", 200))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # measured by benchmarks/torch_baseline.py on this container's CPU
 FALLBACK_BASELINE = 32.05
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 3))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 600))
+FETCH_TIMEOUT_S = float(os.environ.get("BENCH_FETCH_TIMEOUT_S", 240))
+# test hook: pretend the k-th fetch call (1-based) hangs on its first
+# attempt — exercises the watchdog+retry path hermetically
+# (tests/test_evaluate.py::test_bench_survives_hung_fetch)
+_SIMULATE_HANG_AT = int(os.environ.get("BENCH_SIMULATE_HANG_AT", 0))
+_FETCH_INDEX = 0
+
+
+def _fetch_value(dispatch, timeout_s: float = FETCH_TIMEOUT_S) -> float:
+    """Run ``dispatch()`` (which must BOTH launch the computation and fetch
+    a host value — the only true sync in this environment, see CLAUDE.md)
+    in a daemon thread with a deadline. On timeout, re-dispatch ONCE with a
+    doubled deadline: a tunnel hiccup poisons one in-flight fetch, not the
+    program. Raises TimeoutError if the retry also hangs."""
+    global _FETCH_INDEX
+    _FETCH_INDEX += 1
+    fetch_no = _FETCH_INDEX
+    for attempt in range(2):
+        deadline = timeout_s * (attempt + 1)
+        box: dict = {}
+        simulate = attempt == 0 and fetch_no == _SIMULATE_HANG_AT
+
+        def work():
+            try:
+                if simulate:
+                    time.sleep(deadline * 100)  # daemon thread; abandoned
+                box["v"] = float(dispatch())
+            except BaseException as e:  # noqa: BLE001 - reported below
+                box["e"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(deadline)
+        if "v" in box:
+            return box["v"]
+        if "e" in box:
+            raise box["e"]
+        sys.stderr.write(
+            f"bench.py: fetch hung >{deadline:.0f}s "
+            f"(attempt {attempt + 1}/2); "
+            + ("re-dispatching\n" if attempt == 0 else "giving up\n")
+        )
+        sys.stderr.flush()
+    raise TimeoutError(f"device fetch hung twice (timeout {timeout_s:.0f}s)")
+
+
+def _emit(value: float, baseline: float, rounds_done: int) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": f"point-clouds/sec/chip (train+infer) at {POINTS} pts",
+                "value": round(value, 2),
+                "unit": "clouds/s",
+                "vs_baseline": round(value / baseline, 2),
+                "rounds": rounds_done,
+            }
+        ),
+        flush=True,
+    )
 
 
 def _baseline_clouds_per_sec() -> float:
@@ -60,6 +140,10 @@ def _baseline_clouds_per_sec() -> float:
 
 
 def main():
+    # hang diagnosability (CLAUDE.md prescription for long TPU jobs): dump
+    # all thread stacks to stderr every 120 s until cancelled at the end.
+    faulthandler.dump_traceback_later(120, repeat=True)
+
     from pointcloud_orientation_tpu.models import PointNetPP8Dir
 
     dtype = None if DTYPE in ("float32", "f32", "") else jnp.dtype(DTYPE)
@@ -130,45 +214,74 @@ def main():
     # warmup / compile. IMPORTANT: synchronize by FETCHING VALUES — in this
     # environment jax.block_until_ready returns before remote computation
     # completes, inflating timings by orders of magnitude; a host read of
-    # the result cannot.
+    # the result cannot. First compile can take minutes on a cold cache, so
+    # the warmup fetch gets a longer leash than measured rounds.
+    t_start = time.perf_counter()
     rng = jax.random.PRNGKey(7)
-    params, batch_stats, opt_state, loss = train_many(
-        params, batch_stats, opt_state, rng, x, target
+
+    def warmup():
+        nonlocal params, batch_stats, opt_state
+        params, batch_stats, opt_state, loss = train_many(
+            params, batch_stats, opt_state, rng, x, target
+        )
+        return float(np.asarray(loss))
+
+    warmup_timeout = float(
+        os.environ.get("BENCH_WARMUP_TIMEOUT_S", max(FETCH_TIMEOUT_S, 300.0))
     )
-    float(np.asarray(loss))
-    float(np.asarray(eval_many(params, batch_stats, rng, x)))
+    _fetch_value(warmup, timeout_s=warmup_timeout)
+    _fetch_value(
+        lambda: float(np.asarray(eval_many(params, batch_stats, rng, x)))
+    )
 
     def measure_round(r):
         nonlocal params, batch_stats, opt_state
         t0 = time.perf_counter()
-        params, batch_stats, opt_state, loss = train_many(
-            params, batch_stats, opt_state, jax.random.fold_in(rng, r), x, target
-        )
-        float(np.asarray(loss))  # true sync
+
+        def train_fetch():
+            nonlocal params, batch_stats, opt_state
+            params, batch_stats, opt_state, loss = train_many(
+                params, batch_stats, opt_state, jax.random.fold_in(rng, r), x, target
+            )
+            return float(np.asarray(loss))  # true sync
+
+        _fetch_value(train_fetch)
         t_train = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        float(
-            np.asarray(
-                eval_many(params, batch_stats, jax.random.fold_in(rng, 999 + r), x)
+        _fetch_value(
+            lambda: float(
+                np.asarray(
+                    eval_many(params, batch_stats, jax.random.fold_in(rng, 999 + r), x)
+                )
             )
         )
         t_eval = time.perf_counter() - t0
         return BATCH * STEPS * 2 / (t_train + t_eval)
 
-    # median of 3 rounds
-    value = sorted(measure_round(r) for r in range(3))[1]
+    # median of up to BENCH_ROUNDS rounds, within the wall-clock budget.
+    # A parseable record is emitted after EVERY completed round so a later
+    # hang cannot erase the capture; the last line is the final median.
     baseline = _baseline_clouds_per_sec()
-    print(
-        json.dumps(
-            {
-                "metric": f"point-clouds/sec/chip (train+infer) at {POINTS} pts",
-                "value": round(value, 2),
-                "unit": "clouds/s",
-                "vs_baseline": round(value / baseline, 2),
-            }
-        )
-    )
+    values: list[float] = []
+    per_round_s = None
+    for r in range(ROUNDS):
+        elapsed = time.perf_counter() - t_start
+        if values and per_round_s and elapsed + per_round_s > BUDGET_S:
+            sys.stderr.write(
+                f"bench.py: budget {BUDGET_S:.0f}s would be exceeded "
+                f"(elapsed {elapsed:.0f}s); emitting median of {len(values)} "
+                f"round(s)\n"
+            )
+            break
+        t0 = time.perf_counter()
+        values.append(measure_round(r))
+        per_round_s = time.perf_counter() - t0
+        _emit(sorted(values)[len(values) // 2], baseline, len(values))
+    # exit without joining any abandoned (hung) daemon fetch threads
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -58,8 +58,12 @@ def eval_8dir(out, batch, uni):
     gt_probs = np.asarray(batch["probs_8dir"])
     gt_fwd = np.asarray(batch["forward"])
     pred_fwd = probs @ np.asarray(DIRS_8)
-    pn = pred_fwd / (np.linalg.norm(pred_fwd, -1, keepdims=True) + 1e-12)
-    gn = gt_fwd / (np.linalg.norm(gt_fwd, -1, keepdims=True) + 1e-12)
+    # axis=-1 (NOT positional: the 2nd positional arg of np.linalg.norm is
+    # `ord`; ord=-1 is a matrix norm that returned exactly 0.0 for the
+    # xz-planar DIRS_8 basis and made every angular row read 0° — the r4
+    # "saturation" was this bug, found by the r4 advisor).
+    pn = pred_fwd / (np.linalg.norm(pred_fwd, axis=-1, keepdims=True) + 1e-12)
+    gn = gt_fwd / (np.linalg.norm(gt_fwd, axis=-1, keepdims=True) + 1e-12)
     ang = np.degrees(np.arccos(np.clip((pn * gn).sum(-1), -1, 1)))[~uni]
     kl = -(gt_probs * np.log(np.clip(probs, 1e-9, 1.0))).sum(-1)
     ent = -(gt_probs * np.log(np.clip(gt_probs, 1e-9, 1.0))).sum(-1)

@@ -61,6 +61,7 @@ _SLOW_TESTS = {
     "test_8dir_kl_full_protocol",
     "test_empty_step_freeze_is_exact_noop",
     "test_bench_smoke",
+    "test_bench_survives_hung_fetch",
     "test_host_resident_streaming_matches_resident_path",
     "test_multiseed_seed_sharded_matches_unsharded",
     "test_per_label_runner_resume_skips_completed",
