@@ -58,7 +58,9 @@ def test_envelopes_verdicts_and_crossload(tmp_path):
     assert "welch" not in m["vm"]               # ref has n=1: no t-test
     assert "welch" not in m["axes"]
 
-    assert m["vm"]["verdict"].startswith("noise-bounded parity")
+    # ref has only 1 vm seed: the rule must refuse to print a direction
+    assert m["vm"]["verdict"] == \
+        "insufficient reference seeds (n=1) — no direction"
     assert m["vm"]["stacks"]["ours"]["n_seeds"] == 2  # atan2 ignored
     cl = m["vm"]["crossload_seed42"]
     assert abs(cl["ours"]["abs_disagreement"] - 0.05) < 1e-9
@@ -68,7 +70,9 @@ def test_envelopes_verdicts_and_crossload(tmp_path):
     assert abs(ax["ours"]["seeds"][42] - 40.0) < 1e-9  # (10+70)/2
     assert abs(ax["ours"]["seeds"][43] - 42.0) < 1e-9  # suffix stripped
     assert abs(ax["ref"]["mean"] - 45.0) < 1e-9
-    assert m["axes"]["verdict"] == "conclusive, ours better"
+    # axes ref also has n=1 -> no direction, even with disjoint envelopes
+    assert m["axes"]["verdict"] == \
+        "insufficient reference seeds (n=1) — no direction"
 
     # mvm has no cells -> present, no stacks verdict, no crash
     assert "verdict" not in m["mvm"]
