@@ -379,15 +379,61 @@ class OrientationPredictor:
 
         Not for the per-LABEL protocol's checkpoints — those stack 40
         per-class models whose outputs answer different questions;
-        averaging them is not an ensemble."""
+        averaging them is not an ensemble. Both protocols write the same
+        ``step_<E>`` layout, so this validates the sidecar
+        ``history.json``: its keys must parse as seed ints (the per-label
+        protocol's are label strings) unless ``allow_label_keys=True``.
+
+        Members whose validation never improved (diverged/NaN seeds —
+        their saved ``best_val`` is non-finite and their ``best_params``
+        slot still holds init-epoch weights) are EXCLUDED by default with
+        a warning; pass ``members=`` explicitly to override."""
+        import warnings
+
         import orbax.checkpoint as ocp
+
+        allow_label_keys = kw.pop("allow_label_keys", False)
+        hist_path = os.path.join(path, "history.json")
+        if not allow_label_keys and os.path.exists(hist_path):
+            import json
+
+            with open(hist_path) as f:
+                keys = json.load(f).get("keys", [])
+            try:
+                [int(k) for k in keys]
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"checkpoint at {path} has non-seed keys {keys!r} — "
+                    "this looks like a per-LABEL protocol checkpoint "
+                    "(40 per-class models; averaging them is not an "
+                    "ensemble). Pass allow_label_keys=True to override.")
 
         with ocp.PyTreeCheckpointer() as ckptr:
             carry = ckptr.restore(os.path.join(path, "carry"))
         params = carry["best_params"]
         stats = carry.get("best_batch_stats") or None
+        best_val = np.asarray(carry["best_val"], np.float64)
+        finite = np.isfinite(best_val)
+        if members is None and not finite.all():
+            dropped = np.nonzero(~finite)[0].tolist()
+            warnings.warn(
+                f"protocol checkpoint members {dropped} have non-finite "
+                "best_val (validation never improved; slots hold "
+                "init-epoch weights) — excluding them from the ensemble. "
+                "Pass members= explicitly to override.", stacklevel=2)
+            members = np.nonzero(finite)[0].tolist()
         if members is not None:
+            if len(list(members)) == 0:
+                raise ValueError(
+                    f"no usable ensemble members in {path}: every saved "
+                    "best_val is non-finite (all seeds diverged).")
             idx = np.asarray(list(members))
+            if not finite[idx].all():
+                bad = idx[~finite[idx]].tolist()
+                warnings.warn(
+                    f"selected members {bad} have non-finite best_val — "
+                    "their slots hold untrained init-epoch weights.",
+                    stacklevel=2)
             take = lambda t: jax.tree_util.tree_map(  # noqa: E731
                 lambda x: np.asarray(x)[idx], t)
             params, stats = take(params), (take(stats) if stats else None)

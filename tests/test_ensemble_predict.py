@@ -162,7 +162,9 @@ def test_ensemble_composes_with_tta_mvm_exact_mixture():
     manual = jnp.stack(densities).mean(0)
 
     mu_e, kappa_e, w_e = (jnp.asarray(np.asarray(o)) for o in ens(clouds))
-    K = densities and 4  # reference head K=4
+    # S=2 members x V=2 views each contribute the head's K components
+    K = mu_e.shape[-1] // (2 * 2)
+    assert K == PointNetPPMvM.max_K  # reference head K=4
     assert mu_e.shape == (2, 2 * 2 * K) and w_e.shape == (2, 2 * 2 * K)
     np.testing.assert_allclose(np.asarray(w_e.sum(-1)), 1.0, atol=1e-5)
     got = mixture_von_mises_pdf(grid[None, :], mu_e, kappa_e, w_e)
@@ -263,3 +265,80 @@ def test_from_seed_sweep_single_member_equals_plain():
     clouds = _clouds()
     np.testing.assert_allclose(
         np.asarray(swept(clouds)), np.asarray(plain(clouds)), atol=1e-5)
+
+
+def _fake_protocol_ckpt(tmp_path, best_val, keys, with_history=True):
+    """Hand-build a step_<E> dir with the protocol checkpoint's layout:
+    stacked best-val weights in an Orbax carry + the history.json sidecar
+    (`train/protocol_ckpt.py::save_protocol_checkpoint`)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from pointcloud_orientation_tpu.models import PointNetPP8Dir
+
+    S = len(best_val)
+    members = _members(PointNetPP8Dir, list(range(S)))
+    stack = lambda trees: jax.tree_util.tree_map(  # noqa: E731
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+    carry = {
+        "best_params": stack([m["params"] for m in members]),
+        "best_batch_stats": stack([m["batch_stats"] for m in members]),
+        "best_val": np.asarray(best_val, np.float32),
+    }
+    step = tmp_path / "step_2"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(str(step / "carry"), carry, force=True)
+    if with_history:
+        payload = {"epoch": 2, "keys": [str(k) for k in keys],
+                   "history": {str(k): {"val_loss": [1.0]} for k in keys}}
+        (step / "history.json").write_text(json.dumps(payload))
+    return str(step), members
+
+
+def test_protocol_ckpt_rejects_label_keys(tmp_path):
+    """ADVICE r4: the per-label protocol writes the identical step_<E>
+    layout; pointing from_protocol_checkpoint at it must fail loudly (an
+    'ensemble' of 40 per-class models is meaningless), with an explicit
+    override flag."""
+    step, _ = _fake_protocol_ckpt(
+        tmp_path, best_val=[0.5, 0.7], keys=["chair", "bottle"])
+    with pytest.raises(ValueError, match="per-LABEL"):
+        OrientationPredictor.from_protocol_checkpoint(
+            step, "pointnet_pp_8dir", num_points=64, sampling="first")
+    ens = OrientationPredictor.from_protocol_checkpoint(
+        step, "pointnet_pp_8dir", num_points=64, sampling="first",
+        allow_label_keys=True)
+    assert ens.ensemble_size == 2
+
+
+def test_protocol_ckpt_excludes_diverged_members(tmp_path):
+    """ADVICE r4: members whose validation never improved (best_val=inf,
+    init-epoch weights in the slot) are excluded by default with a warning;
+    an explicit members= selection overrides but still warns."""
+    step, members = _fake_protocol_ckpt(
+        tmp_path, best_val=[0.5, np.inf, 0.7], keys=[42, 43, 44])
+    with pytest.warns(UserWarning, match=r"\[1\] have non-finite"):
+        ens = OrientationPredictor.from_protocol_checkpoint(
+            step, "pointnet_pp_8dir", num_points=64, sampling="first")
+    assert ens.ensemble_size == 2
+    ref = OrientationPredictor.from_seed_sweep(
+        "pointnet_pp_8dir", [members[0], members[2]],
+        num_points=64, sampling="first")
+    clouds = _clouds()
+    np.testing.assert_allclose(
+        np.asarray(ens(clouds)), np.asarray(ref(clouds)), atol=1e-5)
+
+    with pytest.warns(UserWarning, match="untrained init-epoch"):
+        solo = OrientationPredictor.from_protocol_checkpoint(
+            step, "pointnet_pp_8dir", members=[1],
+            num_points=64, sampling="first")
+    assert solo.ensemble_size == 1
+
+
+def test_protocol_ckpt_all_diverged_raises(tmp_path):
+    step, _ = _fake_protocol_ckpt(
+        tmp_path, best_val=[np.inf, np.nan], keys=[42, 43])
+    with pytest.raises(ValueError, match="no usable ensemble members"):
+        OrientationPredictor.from_protocol_checkpoint(
+            step, "pointnet_pp_8dir", num_points=64, sampling="first")
