@@ -88,3 +88,32 @@ def test_bench_survives_hung_fetch():
     payload = json.loads(lines[0])
     assert set(payload) == _BENCH_KEYS
     assert payload["value"] > 0
+
+
+def test_bench_n10k_smoke(tmp_path):
+    """benchmarks/bench_n10k.py (the canonical-N serving record, VERDICT r4
+    #7) runs hermetically on CPU at tiny shapes: one JSON line per knn mode
+    (exact + approx) and a record file with both modes' values."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH10K_BATCH="2",
+        BENCH10K_POINTS="256",
+        BENCH10K_STEPS="1",
+        BENCH10K_ROUNDS="1",
+        BENCH10K_WARMUP_TIMEOUT_S="600",
+        BENCH10K_OUT=str(tmp_path / "rec.json"),
+    )
+    out = subprocess.run(
+        [sys.executable, "benchmarks/bench_n10k.py"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    assert [json.loads(l)["mode"] for l in lines] == ["exact", "approx"]
+    rec = json.loads((tmp_path / "rec.json").read_text())
+    assert set(rec["modes"]) == {"exact", "approx"}
+    for m in rec["modes"].values():
+        assert m["value"] > 0 and m["vs_baseline"] > 0
