@@ -305,6 +305,7 @@ def _load_tree(tree: str, classes, num_points: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     out = {"pts": [], "axes": [], "probs": [], "vm": [], "mvm_params": [],
            "mvm_k": [], "labels": []}
+    missing = {"8dir": 0, "vm": 0, "mvm": 0}
     for ci, cls in enumerate(classes):
         cdir = os.path.join(tree, cls)
         for fname in sorted(os.listdir(cdir)):
@@ -318,18 +319,24 @@ def _load_tree(tree: str, classes, num_points: int, seed: int = 0):
             try:
                 out["probs"].append(read_8dir_txt(stem + "_8dir.txt"))
             except OSError:
+                missing["8dir"] += 1
                 out["probs"].append(np.full(8, 0.125, np.float32))
-            out["vm"].append(
-                read_single_peak_vm_txt(stem + "_single_peak_vM_gt.txt"))
+            vm_path = stem + "_single_peak_vM_gt.txt"
+            if not os.path.exists(vm_path):
+                missing["vm"] += 1
+            out["vm"].append(read_single_peak_vm_txt(vm_path))
             try:
                 params, k = read_multi_peak_vm_txt(
                     stem + "_multi_peak_vM_gt.txt", 4)
             except OSError:
+                missing["mvm"] += 1
                 params, k = np.zeros((4, 3), np.float32), 0
             out["mvm_params"].append(params)
             out["mvm_k"].append(k)
             out["labels"].append(ci)
     return {
+        "missing": missing,
+        "tree": tree,
         "pts": np.stack(out["pts"]),
         "axes": np.stack(out["axes"]),
         "probs": np.stack(out["probs"]),
@@ -338,6 +345,22 @@ def _load_tree(tree: str, classes, num_points: int, seed: int = 0):
         "mvm_k": np.asarray(out["mvm_k"], np.int32),
         "labels": np.asarray(out["labels"], np.int32),
     }
+
+
+def _require_sidecars(data: dict, head: str, tree: str) -> None:
+    """Refuse to score a head whose GT sidecars are absent from the tree.
+
+    The readers' silent fallbacks (uniform 8-dir, (0,0) vM, k=0 MvM) are
+    reference-faithful *dataloader* semantics — but a matrix cell scored
+    against fallback GT is contaminated, not conservative (a half-
+    materialized tree produced exactly this in round 5: vm s45 scored
+    50.9 deg against 135 missing sidecars vs 38.4 deg on the real GT)."""
+    n = data.get("missing", {}).get(head, 0)
+    if n:
+        raise RuntimeError(
+            f"{tree}: {n} clouds lack their {head!r} GT sidecar — the tree "
+            f"is partially materialized; re-run cross_stack.py "
+            f"materialize/materialize-dist before scoring this head")
 
 
 def _mu(f):
@@ -509,6 +532,7 @@ def eval_torch(ckpt: str, tree: str, head: str, classes, num_points: int,
     sys.path.insert(0, REPO)
     torch.manual_seed(0)
     data = _load_tree(tree, classes, num_points)
+    _require_sidecars(data, head, tree)
     pts, axes = data["pts"], data["axes"]
 
     if head == "8dir":
@@ -644,6 +668,7 @@ def eval_ours_torch_ckpt(ckpt: str, tree: str, head: str, classes,
 
 def _eval_ours_metrics(cfg, params, stats, data, head):
     """Forward OUR model on the shared clouds and apply the shared metric."""
+    _require_sidecars(data, head, data.get("tree", "<tree>"))
     pts, axes = data["pts"], data["axes"]
     out = _eval_ours_arrays(cfg, params, stats, pts, head)
     if head == "8dir":
