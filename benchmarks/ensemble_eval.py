@@ -165,6 +165,10 @@ def run_head(head: str, seeds, epochs, num_points, tta_v):
 
 
 def main():
+    # long TPU jobs can hang mid-dispatch after tunnel hiccups (CLAUDE.md);
+    # a repeating traceback dump makes the hang site diagnosable from the log
+    import faulthandler
+    faulthandler.dump_traceback_later(240, repeat=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--head", choices=["8dir", "vm", "mvm", "both"],
                     default="both")
