@@ -82,6 +82,42 @@ def test_envelopes_verdicts_and_crossload(tmp_path):
     assert "8dir" in md and "conclusive, ours better" in md
 
 
+def test_basin_decomposition(tmp_path):
+    """Families with a registered basin threshold (vm, 2.4 nats) get a
+    supplementary per-stack in-basin/collapsed split; the full-envelope
+    verdict is unchanged by it, and thresholdless families get none."""
+    d = str(tmp_path)
+    _write(d, "ours_vm_eval.json", {"vm": _cell(2.0, 50.0)})
+    _write(d, "ours_vm_s43_eval.json", {"vm_s43": _cell(2.1, 51.0)})
+    _write(d, "ours_vm_s44_eval.json", {"vm_s44": _cell(3.0, 85.0)})
+    _write(d, "ref_vm_eval.json", _cell(2.2, 52.0))
+    _write(d, "ref_vm_s43_eval.json", _cell(2.6, 63.0))
+    _write(d, "ours_8dir_eval.json", {"8dir": _cell(1.0, 7.0)})
+    _write(d, "ref_8dir_eval.json", _cell(1.2, 8.0))
+    _write(d, "ref_8dir_s43_eval.json", _cell(1.3, 9.0))
+
+    m = sm.summarize(d)
+    b = m["vm"]["basins"]
+    assert b["threshold"] == 2.4
+    ours = b["stacks"]["ours"]
+    assert ours["in_basin"]["n_seeds"] == 2
+    assert abs(ours["in_basin"]["mean"] - 2.05) < 1e-9
+    assert ours["collapsed"]["n_seeds"] == 1
+    assert abs(ours["collapsed"]["mean"] - 3.0) < 1e-9
+    ref = b["stacks"]["ref"]
+    assert ref["in_basin"]["n_seeds"] == 1 and ref["collapsed"]["n_seeds"] == 1
+    assert abs(b["in_basin_delta_of_means"] - (2.05 - 2.2)) < 1e-9
+    # the verdict stays the full-envelope rule (overlapping -> parity)
+    assert m["vm"]["verdict"].startswith("noise-bounded parity")
+    assert "basins" not in m["8dir"]
+
+    # all-in-basin stack: collapsed side is None, no crash
+    os.remove(os.path.join(d, "ref_vm_s43_eval.json"))
+    _write(d, "ref_vm_s43_eval.json", _cell(2.1, 50.0))
+    m2 = sm.summarize(d)
+    assert m2["vm"]["basins"]["stacks"]["ref"]["collapsed"] is None
+
+
 def test_improved_head_envelope(tmp_path):
     """The ours-only vm_atan2 variant cells form their own envelope row:
     excluded from the parity vm row, vmapped seed cells take precedence
